@@ -1,0 +1,100 @@
+"""Three-layer noise configuration — baseline / defaults / user
+(reference ``configuration/generator.py:111-157`` layer list and
+``DEFAULT_NOISE_VALUES`` :20-80; validation semantics
+``configuration/validator.py:16-105``).
+
+Structure (same shape as the reference's LayeredConfigTree.to_dict()):
+
+    {dataset: {"row_noise": {noise_type: {param: value}},
+               "column_noise": {column: {noise_type: {param: value}}}}}
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any, Mapping
+
+from pseudopeople_spark import datasets as D
+
+DEFAULT_CELL_PROBABILITY = 0.01  # reference entity_types.py:79
+DEFAULT_TOKEN_PROBABILITY = 0.1  # reference noise_entities.py:74-114
+DEFAULT_OMIT_ROW = {"decennial_census": 0.0145, "taxes_w2_and_1099": 0.005, "social_security": 0.0145,
+                    "american_community_survey": 0.0145}  # generator.py:50-66
+DEFAULT_DO_NOT_RESPOND = {"decennial_census": 0.0145, "american_community_survey": 0.0145}
+TOKEN_NOISE_TYPES = {D.MAKE_PHONETIC_ERRORS, D.MAKE_OCR_ERRORS, D.MAKE_TYPOS, D.WRITE_WRONG_DIGITS}
+
+
+class ConfigurationError(ValueError):
+    """Raised on structurally invalid user overrides (reference
+    ``exceptions.py:1-9``)."""
+
+
+def baseline_config(dataset: D.DatasetSpec) -> "dict[str, Any]":
+    row_noise: dict[str, Any] = {}
+    for rn in dataset.row_noise_types:
+        if rn == D.OMIT_ROW:
+            row_noise[rn] = {"row_probability": DEFAULT_OMIT_ROW.get(dataset.name, 0.0145)}
+        elif rn == D.DO_NOT_RESPOND:
+            row_noise[rn] = {"row_probability": DEFAULT_DO_NOT_RESPOND.get(dataset.name, 0.0145)}
+        elif rn == D.DUPLICATE_WITH_GUARDIAN:
+            row_noise[rn] = {
+                "row_probability_in_households_under_18": 0.02,
+                "row_probability_in_college_group_quarters_under_24": 0.05,
+            }
+    column_noise: dict[str, Any] = {}
+    for col in dataset.columns:
+        if not col.noise_types:
+            continue
+        entry: dict[str, Any] = {}
+        for nt in col.noise_types:
+            params = {"cell_probability": DEFAULT_CELL_PROBABILITY}
+            if nt in TOKEN_NOISE_TYPES:
+                params["token_probability"] = DEFAULT_TOKEN_PROBABILITY
+            if nt == D.WRITE_WRONG_ZIPCODE_DIGITS:
+                params = {
+                    "cell_probability": DEFAULT_CELL_PROBABILITY,
+                    "digit_probabilities": [0.04, 0.04, 0.2, 0.36, 0.36],
+                }
+            if nt == D.MISREPORT_AGE:
+                params["possible_age_differences"] = {-2: 0.1, -1: 0.4, 1: 0.4, 2: 0.1}
+            entry[nt] = params
+        column_noise[col.name] = entry
+    return {"row_noise": row_noise, "column_noise": column_noise}
+
+
+def get_config(overrides: "Mapping[str, Any] | None" = None) -> "dict[str, Any]":
+    """Resolved config for all datasets with user overrides merged on
+    top (the reference's ``get_config``,
+    ``configuration/interface.py:7-51``)."""
+    cfg = {name: baseline_config(spec) for name, spec in D.DATASETS.items()}
+    if overrides:
+        _merge(cfg, overrides, path=())
+    return cfg
+
+
+NO_NOISE: "dict[str, Any]" = {
+    name: {
+        "row_noise": {rn: {k: 0.0 for k in baseline_config(spec)["row_noise"].get(rn, {})}
+                      for rn in spec.row_noise_types},
+        "column_noise": {
+            c.name: {nt: {"cell_probability": 0.0} for nt in c.noise_types}
+            for c in spec.columns if c.noise_types
+        },
+    }
+    for name, spec in D.DATASETS.items()
+}
+
+
+def _merge(base: "dict[str, Any]", over: "Mapping[str, Any]", path: tuple) -> None:
+    for k, v in over.items():
+        if k not in base:
+            if len(path) >= 1:  # allow unknown leaf params but not unknown datasets
+                base[k] = copy.deepcopy(v)
+                continue
+            raise ConfigurationError(f"unknown configuration key {'.'.join(path + (str(k),))}")
+        if isinstance(v, Mapping) and isinstance(base.get(k), dict):
+            _merge(base[k], v, path + (str(k),))
+        else:
+            if isinstance(v, (int, float)) and ("probability" in str(k)) and not (0.0 <= float(v) <= 1.0):
+                raise ConfigurationError(f"probability {'.'.join(path + (str(k),))}={v} outside [0,1]")
+            base[k] = copy.deepcopy(v)

@@ -1,0 +1,121 @@
+"""Noise pipeline driver — applies row noise then column noise in the
+reference's fixed declaration order (reference ``noise_dataset``,
+``src/pseudopeople/noise.py:28-120``; order asserted by its
+``tests/unit/test_noise_form.py:111-203``).
+
+The whole pipeline composes into ONE Spark plan: row noise = hash
+filters (+ one join for guardian duplication), column noise = a chain
+of ``when(mask, noised).otherwise(col)`` projections — Catalyst
+collapses the projection chain into a single whole-stage-codegen'd map,
+so N noise operators cost one pass over the data regardless of N.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+from pyspark.sql import DataFrame
+
+from pseudopeople_spark import datasets as D
+from pseudopeople_spark.operators import assets
+from pseudopeople_spark.operators import column_noise as cn
+from pseudopeople_spark.operators import row_noise as rn
+from pseudopeople_spark.operators.kernels import apply_token_noise
+
+ADDRESS_COLUMNS = [
+    "street_number", "street_name", "unit_number", "city", "state", "zipcode",
+]
+
+
+def noise_dataset(
+    df: DataFrame,
+    spec: D.DatasetSpec,
+    config: "Mapping[str, Any]",
+    seed: int = 0,
+    key_col: str = "record_id",
+) -> DataFrame:
+    """Apply the dataset's full noise plan. ``config`` is the resolved
+    per-dataset tree from :func:`pseudopeople_spark.config.get_config`.
+    """
+    ds_cfg = config[spec.name]
+    row_cfg = ds_cfg.get("row_noise", {})
+    col_cfg = ds_cfg.get("column_noise", {})
+
+    # --- row noise, declaration order (duplicate_with_guardian, do_not_respond, omit_row)
+    for nt in D.ROW_NOISE_ORDER:
+        if nt not in spec.row_noise_types or nt not in row_cfg:
+            continue
+        params = row_cfg[nt]
+        if nt == D.DUPLICATE_WITH_GUARDIAN:
+            p18 = params.get("row_probability_in_households_under_18", 0.02)
+            p24 = params.get("row_probability_in_college_group_quarters_under_24", 0.05)
+            if (p18 > 0 or p24 > 0) and "guardian_1" in df.columns:
+                df = rn.duplicate_with_guardian(
+                    df, key_col, ADDRESS_COLUMNS, p_under_18=p18, p_college=p24, seed=seed
+                )
+        elif nt == D.DO_NOT_RESPOND:
+            p = params.get("row_probability", 0.0)
+            if p > 0:
+                df = rn.do_not_respond(df, key_col, configured_level=p, seed=seed)
+        elif nt == D.OMIT_ROW:
+            p = params.get("row_probability", 0.0)
+            if p > 0:
+                df = rn.omit_rows(df, key_col, p=p, seed=seed)
+
+    # --- column noise, declaration order per column
+    for col in spec.columns:
+        c_cfg = col_cfg.get(col.name, {})
+        for nt in D.COLUMN_NOISE_ORDER:
+            if nt not in col.noise_types or nt not in c_cfg:
+                continue
+            params = c_cfg[nt]
+            p = params.get("cell_probability", 0.0)
+            if p <= 0:
+                continue
+            tp = params.get("token_probability", 0.1)
+            if nt == D.LEAVE_BLANK:
+                df = cn.leave_blank(df, col.name, key_col, p=p, seed=seed)
+            elif nt == D.CHOOSE_WRONG_OPTION:
+                df = cn.choose_wrong_option(df, col.name, key_col, options=col.options, p=p, seed=seed)
+            elif nt == D.COPY_FROM_HOUSEHOLD_MEMBER:
+                if col.copy_column and col.copy_column in df.columns:
+                    df = cn.copy_from_household_member(df, col.name, key_col, col.copy_column, p=p, seed=seed)
+            elif nt == D.SWAP_MONTH_AND_DAY:
+                df = cn.swap_month_and_day(df, col.name, key_col, date_format=spec.date_format, p=p, seed=seed)
+            elif nt == D.WRITE_WRONG_ZIPCODE_DIGITS:
+                df = cn.write_wrong_zipcode_digits(
+                    df, col.name, key_col, p=p,
+                    digit_probabilities=params.get("digit_probabilities", [0.04, 0.04, 0.2, 0.36, 0.36]),
+                    seed=seed,
+                )
+            elif nt == D.MISREPORT_AGE:
+                df = cn.misreport_age(
+                    df, col.name, key_col, p=p,
+                    age_differences=params.get("possible_age_differences"), seed=seed,
+                )
+            elif nt == D.WRITE_WRONG_DIGITS:
+                df = cn.write_wrong_digits(df, col.name, key_col, p=p, token_probability=tp, seed=seed)
+            elif nt == D.USE_NICKNAME:
+                df = cn.use_nickname(df, col.name, key_col, assets.NICKNAMES, p=p, seed=seed)
+            elif nt == D.USE_FAKE_NAME:
+                fakes = assets.FAKE_FIRST_NAMES if "first" in col.name or "middle" in col.name else assets.FAKE_LAST_NAMES
+                df = cn.use_fake_name(df, col.name, key_col, fakes, p=p, seed=seed)
+            elif nt == D.MAKE_PHONETIC_ERRORS:
+                df = apply_token_noise(
+                    df, col.name, key_col, "make_phonetic_errors", assets.PHONETIC_VARIANTS,
+                    cell_probability=p, token_probability=tp, seed=seed,
+                )
+            elif nt == D.MAKE_OCR_ERRORS:
+                df = apply_token_noise(
+                    df, col.name, key_col, "make_ocr_errors", assets.OCR_ERRORS,
+                    cell_probability=p, token_probability=tp, seed=seed,
+                )
+            elif nt == D.MAKE_TYPOS:
+                df = apply_token_noise(
+                    df, col.name, key_col, "make_typos", assets.QWERTY_NEIGHBORS,
+                    cell_probability=p, token_probability=tp, seed=seed,
+                )
+
+    # final projection to the declared output schema, declared order
+    keep = [c for c in spec.column_names if c in df.columns]
+    return df.select(key_col, *keep)

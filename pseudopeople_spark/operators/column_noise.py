@@ -1,0 +1,266 @@
+"""Column-noise operators — value-mutating transforms, one per noise
+type in the reference (SURVEY.md §2.C; reference
+``src/pseudopeople/noise_functions.py:306-672`` and
+``entity_types.py:88-137`` for the shared driver semantics).
+
+Shared driver contract (reference ``ColumnNoiseType.__call__``):
+  1. cells are selected by a Bernoulli draw keyed on the record id
+     (CRN — invariant to partitioning);
+  2. rows where the target column (or any required sibling column) is
+     missing are never selected;
+  3. non-selected cells pass through bit-identical.
+
+Spark realization: one ``when(mask, noised).otherwise(col)`` projection
+per operator — fully columegen'd JVM expressions, no UDF, no shuffle.
+Each operator takes a ``u01`` factory (default :func:`hash_u01`) so the
+oracle-checked queries can swap in the DuckDB-portable LCG.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pseudopeople_spark.crn import hash_u01
+
+U01 = Callable[[Column, int, str], Column]
+
+
+def _base_mask(
+    df: DataFrame,
+    column: str,
+    key_col: str,
+    p: float | Column,
+    seed: int,
+    decision: str,
+    u01: U01,
+    required: Sequence[str] = (),
+) -> Column:
+    u = u01(F.col(key_col), seed, decision)
+    eligible = F.col(column).isNotNull() & (F.col(column).cast("string") != "")
+    for r in required:
+        eligible = eligible & F.col(r).isNotNull()
+    return eligible & (u < p)
+
+
+def _apply(df: DataFrame, column: str, mask: Column, noised: Column) -> DataFrame:
+    return df.withColumn(column, F.when(mask, noised).otherwise(F.col(column)))
+
+
+def leave_blank(
+    df: DataFrame, column: str, key_col: str, p: float = 0.01, seed: int = 0, u01: U01 = hash_u01
+) -> DataFrame:
+    """Selected cells -> NULL (reference ``leave_blanks``,
+    noise_functions.py:657-672). Spark nulls are native; no float
+    promotion hack (output_dtype_getters.py:6-11) is needed."""
+    mask = _base_mask(df, column, key_col, p, seed, f"leave_blank_{column}", u01)
+    return _apply(df, column, mask, F.lit(None).cast(df.schema[column].dataType))
+
+
+def choose_wrong_option(
+    df: DataFrame,
+    column: str,
+    key_col: str,
+    options: Sequence[str],
+    p: float = 0.01,
+    seed: int = 0,
+    u01: U01 = hash_u01,
+) -> DataFrame:
+    """Replace with a uniform draw from the column's option list
+    (reference ``choose_wrong_options``, noise_functions.py:306-341).
+    The draw may self-collide, so the selection probability is scaled by
+    1/(1 - 1/n) to keep the *observed* change rate at p
+    (noise_scaling.py:10-23)."""
+    n = len(options)
+    p_scaled = min(1.0, p / (1.0 - 1.0 / n)) if n > 1 else p
+    mask = _base_mask(df, column, key_col, p_scaled, seed, f"choose_wrong_option_{column}", u01)
+    u_pick = u01(F.col(key_col), seed, f"choose_wrong_option_pick_{column}")
+    arr = F.array(*[F.lit(o) for o in options])
+    pick = F.element_at(arr, (F.floor(u_pick * n) + 1).cast("int"))
+    return _apply(df, column, mask, pick)
+
+
+def copy_from_household_member(
+    df: DataFrame,
+    column: str,
+    key_col: str,
+    copy_column: str,
+    p: float = 0.01,
+    seed: int = 0,
+    u01: U01 = hash_u01,
+) -> DataFrame:
+    """Replace the value with the shadow copy_* column carrying another
+    household member's value (reference noise_functions.py:344-362;
+    shadow-column map constants/noise_type_metadata.py:17-26).
+    Rows with no eligible household member (copy column null) are never
+    selected."""
+    mask = _base_mask(
+        df, column, key_col, p, seed, f"copy_from_household_member_{column}", u01, required=[copy_column]
+    )
+    return _apply(df, column, mask, F.col(copy_column).cast(df.schema[column].dataType))
+
+
+def swap_month_and_day(
+    df: DataFrame,
+    column: str,
+    key_col: str,
+    date_format: str = "MM/dd/yyyy",
+    p: float = 0.01,
+    seed: int = 0,
+    u01: U01 = hash_u01,
+) -> DataFrame:
+    """String-slice swap of the month and day segments of an already
+    stringified date (reference ``swap_months_and_days``,
+    noise_functions.py:365-404; dates are reformatted to strings before
+    noising, interface.py:255-285)."""
+    c = F.col(column)
+    if date_format == "MM/dd/yyyy":
+        swapped = F.concat(c.substr(4, 3), c.substr(1, 2), c.substr(6, 5))
+    elif date_format == "MMddyyyy":
+        swapped = F.concat(c.substr(3, 2), c.substr(1, 2), c.substr(5, 4))
+    elif date_format == "yyyyMMdd":
+        swapped = F.concat(c.substr(1, 4), c.substr(7, 2), c.substr(5, 2))
+    else:
+        raise ValueError(f"unsupported date format {date_format}")
+    mask = _base_mask(df, column, key_col, p, seed, f"swap_month_and_day_{column}", u01)
+    return _apply(df, column, mask, swapped)
+
+
+def write_wrong_zipcode_digits(
+    df: DataFrame,
+    column: str,
+    key_col: str,
+    p: float = 0.01,
+    digit_probabilities: Sequence[float] = (0.04, 0.04, 0.2, 0.36, 0.36),
+    seed: int = 0,
+    u01: U01 = hash_u01,
+) -> DataFrame:
+    """Per-digit replacement of a 5-digit zip: cell selected w.p. p,
+    then digit i replaced w.p. digit_probabilities[i] scaled by
+    1/(1 - 1/10) for self-collision, by a uniform random digit
+    (reference noise_functions.py:407-459; default position
+    probabilities noise_entities.py:63-65). Five chained built-in
+    expressions — no UDF."""
+    mask = _base_mask(df, column, key_col, p, seed, f"write_wrong_zipcode_{column}", u01)
+    c = F.col(column)
+    parts = []
+    for i, dp in enumerate(digit_probabilities):
+        dp_scaled = min(1.0, dp / 0.9)
+        u_sel = u01(F.col(key_col), seed, f"zip_sel_{column}_{i}")
+        u_dig = u01(F.col(key_col), seed, f"zip_dig_{column}_{i}")
+        new_digit = F.floor(u_dig * 10).cast("string")
+        parts.append(F.when(u_sel < dp_scaled, new_digit).otherwise(c.substr(i + 1, 1)))
+    return _apply(df, column, mask, F.concat(*parts))
+
+
+def misreport_age(
+    df: DataFrame,
+    column: str,
+    key_col: str,
+    p: float = 0.01,
+    age_differences: "dict[int, float] | None" = None,
+    seed: int = 0,
+    u01: U01 = hash_u01,
+) -> DataFrame:
+    """age += weighted draw from {-2:.1,-1:.4,+1:.4,+2:.1} (reference
+    ``misreport_ages``, noise_functions.py:462-494; defaults
+    noise_entities.py:70-72). Negative results reflect (* -1); a result
+    equal to the original (impossible with the default diffs, possible
+    after reflection) decrements by 1. CDF chain == searchsorted."""
+    diffs = age_differences or {-2: 0.1, -1: 0.4, 1: 0.4, 2: 0.1}
+    mask = _base_mask(df, column, key_col, p, seed, f"misreport_age_{column}", u01)
+    u_pick = u01(F.col(key_col), seed, f"misreport_age_pick_{column}")
+    cdf = 0.0
+    expr: Column | None = None
+    items = sorted(diffs.items())
+    for d, w in items:
+        cdf += w
+        expr = F.when(u_pick < F.lit(cdf), F.lit(d)) if expr is None else expr.when(u_pick < F.lit(cdf), F.lit(d))
+    delta = expr.otherwise(F.lit(items[-1][0]))
+    age = F.col(column).cast("bigint")
+    new_age = age + delta
+    new_age = F.abs(new_age)  # reflect negatives
+    new_age = F.when(new_age == age, age - 1).otherwise(new_age)
+    out_type = df.schema[column].dataType
+    return _apply(df, column, mask, new_age.cast(out_type))
+
+
+def write_wrong_digits(
+    df: DataFrame,
+    column: str,
+    key_col: str,
+    p: float = 0.01,
+    token_probability: float = 0.1,
+    seed: int = 0,
+    u01: U01 = hash_u01,
+) -> DataFrame:
+    """Each numeric character of a selected cell is replaced w.p.
+    token_probability/0.9 (self-collision scaling) by a uniform random
+    digit; non-digit characters pass through (reference
+    ``write_wrong_digits``, noise_functions.py:497-552).
+
+    Spark realization: ``transform`` over the char array with a
+    per-(record, position) CRN draw — stays in the JVM for arbitrary
+    string lengths (the reference needed a numpy char-matrix trick;
+    higher-order functions subsume it)."""
+    tp = min(1.0, token_probability / 0.9)
+    mask = _base_mask(df, column, key_col, p, seed, f"write_wrong_digits_{column}", u01)
+    key = F.col(key_col).cast("string")
+
+    def per_char(ch: Column, i: Column) -> Column:
+        h = F.xxhash64(F.lit(str(seed)), F.lit(f"wwd_{column}"), key, i)
+        u_sel = F.pmod(h, F.lit(2**40)).cast("double") / F.lit(float(2**40))
+        h2 = F.xxhash64(F.lit(str(seed)), F.lit(f"wwd_digit_{column}"), key, i)
+        dig = F.pmod(h2, F.lit(10)).cast("string")
+        return F.when(ch.rlike("^[0-9]$") & (u_sel < tp), dig).otherwise(ch)
+
+    chars = F.split(F.col(column).cast("string"), "")
+    noised = F.array_join(F.transform(chars, per_char), "")
+    return _apply(df, column, mask, noised)
+
+
+def use_nickname(
+    df: DataFrame,
+    column: str,
+    key_col: str,
+    nicknames: "dict[str, Sequence[str]]",
+    p: float = 0.01,
+    seed: int = 0,
+    u01: U01 = hash_u01,
+) -> DataFrame:
+    """Names with a known nickname set are replaced by a uniform
+    nickname choice (reference ``use_nicknames``,
+    noise_functions.py:555-582; 2-D choice kernel utilities.py:129-171).
+    The nickname table is tiny -> shipped as a map literal (broadcast by
+    plan), looked up with element_at — no join, no shuffle."""
+    kv: list[Column] = []
+    for name, nicks in nicknames.items():
+        kv.append(F.lit(name))
+        kv.append(F.array(*[F.lit(n) for n in nicks]))
+    nick_map = F.create_map(*kv)
+    arr = nick_map.getItem(F.col(column))
+    mask = _base_mask(df, column, key_col, p, seed, f"use_nickname_{column}", u01) & arr.isNotNull()
+    u_pick = u01(F.col(key_col), seed, f"use_nickname_pick_{column}")
+    pick = F.element_at(arr, (F.floor(u_pick * F.size(arr)) + 1).cast("int"))
+    return _apply(df, column, mask, pick)
+
+
+def use_fake_name(
+    df: DataFrame,
+    column: str,
+    key_col: str,
+    fake_names: Sequence[str],
+    p: float = 0.01,
+    seed: int = 0,
+    u01: U01 = hash_u01,
+) -> DataFrame:
+    """Replace with a uniform draw from a fake/placeholder name list
+    (reference ``use_fake_names``, noise_functions.py:585-626; lists in
+    data/fake_names.py)."""
+    mask = _base_mask(df, column, key_col, p, seed, f"use_fake_name_{column}", u01)
+    u_pick = u01(F.col(key_col), seed, f"use_fake_name_pick_{column}")
+    arr = F.array(*[F.lit(x) for x in fake_names])
+    pick = F.element_at(arr, (F.floor(u_pick * len(fake_names)) + 1).cast("int"))
+    return _apply(df, column, mask, pick)

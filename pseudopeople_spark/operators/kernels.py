@@ -1,0 +1,195 @@
+"""Arrow pandas-UDF kernels for token-level corruption — the three
+noise types with no built-in Spark expression: phonetic errors, OCR
+errors, and QWERTY typos (reference ``_corrupt_tokens``,
+``src/pseudopeople/noise_functions.py:788-929``, ``make_typos``
+:675-758; semantics spec'd by its exhaustive token-pathway tests,
+``tests/unit/test_column_noise.py:45-168`` — SURVEY.md §5.3).
+
+Semantics implemented (the reference's contract, re-derived):
+  * the string is scanned left-to-right; at each position the LONGEST
+    token present in the rule table is the candidate (longest-match-
+    first);
+  * each candidate token is corrupted independently w.p.
+    ``token_probability``; a corrupted span consumes its full length
+    (no overlapping corruption); a non-corrupted position advances by
+    one character so overlapping tokens each get their chance;
+  * the replacement is a uniform choice among the token's variants
+    ("" = deletion, the reference's '@' rule);
+  * typos: each QWERTY-mapped character is replaced w.p.
+    ``token_probability`` by a uniformly chosen adjacent key; 10% of
+    typos additionally KEEP the original character and insert the typo
+    after it; case is preserved.
+
+Determinism: every draw is ``splitmix64(row_key, position, salt)`` —
+a stateless vectorized hash of the stable record key, never partition
+state, so output is invariant to partitioning/executor count.
+
+The UDFs take (key:int64, mask:bool, value:string): pass-through rows
+short-circuit, so Python-side work is O(selected cells) = O(p · rows),
+and each Arrow batch stays columnar end-to-end.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Mapping, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pseudopeople_spark.crn import splitmix64_u01
+
+
+def _corrupt_tokens_one(
+    s: str,
+    row_key: int,
+    salt: int,
+    rules: Mapping[str, Sequence[str]],
+    max_token_len: int,
+    token_probability: float,
+) -> str:
+    out: list[str] = []
+    i = 0
+    n = len(s)
+    pos_salt = np.uint64(salt)
+    while i < n:
+        token = None
+        for L in range(min(max_token_len, n - i), 0, -1):
+            cand = s[i : i + L]
+            if cand in rules:
+                token = cand
+                break
+        if token is None:
+            out.append(s[i])
+            i += 1
+            continue
+        u = splitmix64_u01([np.uint64(row_key), np.uint64(i), pos_salt])
+        if u < token_probability:
+            variants = rules[token]
+            u2 = splitmix64_u01([np.uint64(row_key), np.uint64(i), pos_salt + np.uint64(1)])
+            out.append(variants[int(u2 * len(variants))])
+            i += len(token)
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
+
+
+def make_corrupt_tokens_udf(
+    rules: Mapping[str, Sequence[str]],
+    token_probability: float = 0.1,
+    seed: int = 0,
+    decision: str = "corrupt_tokens",
+):
+    """Factory: token-corruption pandas UDF for a given rule table
+    (phonetic variants or OCR confusions). The rule table is captured in
+    the closure (tiny) — cloudpickled once per task, not per row."""
+    max_len = max(len(k) for k in rules)
+    salt = _salt(seed, decision)
+    frozen = {k: tuple(v) for k, v in rules.items()}
+
+    @F.pandas_udf(T.StringType())
+    def corrupt(key: pd.Series, mask: pd.Series, val: pd.Series) -> pd.Series:
+        out = val.copy()
+        sel = mask.fillna(False).to_numpy(dtype=bool) & val.notna().to_numpy(dtype=bool)
+        if sel.any():
+            keys = key.to_numpy(dtype=np.int64).astype(np.uint64)
+            idx = np.nonzero(sel)[0]
+            vals = val.to_numpy(dtype=object)
+            res = [
+                _corrupt_tokens_one(str(vals[j]), int(keys[j]), salt, frozen, max_len, token_probability)
+                for j in idx
+            ]
+            out.iloc[idx] = res
+        return out
+
+    return corrupt
+
+
+def make_typos_udf(
+    qwerty: Mapping[str, str],
+    token_probability: float = 0.1,
+    include_original_probability: float = 0.1,
+    seed: int = 0,
+    decision: str = "make_typos",
+):
+    """Factory: QWERTY-typo pandas UDF (reference ``make_typos``,
+    noise_functions.py:675-758; asset data/qwerty_errors.yaml)."""
+    salt = _salt(seed, decision)
+    frozen = {k: str(v) for k, v in qwerty.items()}
+
+    def _typo_one(s: str, row_key: int) -> str:
+        out: list[str] = []
+        rk = np.uint64(row_key)
+        st = np.uint64(salt)
+        for i, ch in enumerate(s):
+            low = ch.lower()
+            nbrs = frozen.get(low)
+            if nbrs is None:
+                out.append(ch)
+                continue
+            u = splitmix64_u01([rk, np.uint64(i), st])
+            if u >= token_probability:
+                out.append(ch)
+                continue
+            u2 = splitmix64_u01([rk, np.uint64(i), st + np.uint64(1)])
+            typo = nbrs[int(u2 * len(nbrs))]
+            if ch.isupper():
+                typo = typo.upper()
+            u3 = splitmix64_u01([rk, np.uint64(i), st + np.uint64(2)])
+            if u3 < include_original_probability:
+                out.append(ch)
+            out.append(typo)
+        return "".join(out)
+
+    @F.pandas_udf(T.StringType())
+    def typos(key: pd.Series, mask: pd.Series, val: pd.Series) -> pd.Series:
+        out = val.copy()
+        sel = mask.fillna(False).to_numpy(dtype=bool) & val.notna().to_numpy(dtype=bool)
+        if sel.any():
+            keys = key.to_numpy(dtype=np.int64).astype(np.uint64)
+            idx = np.nonzero(sel)[0]
+            vals = val.to_numpy(dtype=object)
+            out.iloc[idx] = [_typo_one(str(vals[j]), int(keys[j])) for j in idx]
+        return out
+
+    return typos
+
+
+def _salt(seed: int, decision: str) -> int:
+    acc = int(seed) & 0xFFFFFFFFFFFFFFFF
+    for ch in decision:
+        acc = ((acc * 1099511628211) ^ ord(ch)) & 0xFFFFFFFFFFFFFFFF
+    return acc
+
+
+def apply_token_noise(
+    df,
+    column: str,
+    key_col: str,
+    kind: str,
+    rules,
+    cell_probability: float = 0.01,
+    token_probability: float = 0.1,
+    seed: int = 0,
+    u01: Callable = None,
+):
+    """Driver for the three token-noise operators: JVM-side CRN cell
+    mask + one pandas-UDF projection. The mask keeps the Python work at
+    O(cell_probability · rows)."""
+    from pseudopeople_spark.crn import hash_u01
+
+    u01 = u01 or hash_u01
+    decision = f"{kind}_{column}"
+    mask = (
+        F.col(column).isNotNull()
+        & (F.col(column).cast("string") != "")
+        & (u01(F.col(key_col), seed, decision) < cell_probability)
+    )
+    key64 = F.xxhash64(F.lit(str(seed)), F.lit(decision), F.col(key_col).cast("string"))
+    if kind == "make_typos":
+        udf = make_typos_udf(rules, token_probability, seed=seed, decision=decision)
+    else:
+        udf = make_corrupt_tokens_udf(rules, token_probability, seed=seed, decision=decision)
+    return df.withColumn(column, udf(key64, mask, F.col(column)))
