@@ -1,0 +1,283 @@
+"""Similarity & phonetic scalar functions for record linkage.
+
+Spark built-ins cover ``soundex`` and ``levenshtein``; this module adds
+the ones Spark lacks (SURVEY.md §2.E "scalar functions"):
+
+* :func:`jaro_winkler` / :func:`jaro_winkler_udf` — standard
+  Jaro-Winkler similarity (Winkler prefix scaling 0.1, boost threshold
+  0.7), semantics matched against DuckDB's
+  ``jaro_winkler_similarity`` so the DuckDB oracle can verify values.
+* :func:`double_metaphone_udf` — a compact double-metaphone-style
+  phonetic encoder (primary + secondary codes) for blocking keys.
+* :func:`token_set_ratio_udf` — Jaccard over whitespace token sets.
+* :func:`ngrams` — character n-gram shingles as a pure Spark
+  expression (no UDF).
+
+All Python-side functions are exposed ONLY as Arrow pandas UDFs
+(batched, numpy/object loops per batch — no per-row Python UDFs).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# --------------------------------------------------------------------------
+# Jaro-Winkler
+# --------------------------------------------------------------------------
+
+def jaro(s1: str, s2: str) -> float:
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0  # incl. ("","") — matches DuckDB's jaro_winkler_similarity
+    if s1 == s2:
+        return 1.0
+    window = max(l1, l2) // 2 - 1
+    if window < 0:
+        window = 0
+    match1 = [False] * l1
+    match2 = [False] * l2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo = max(0, i - window)
+        hi = min(l2, i + window + 1)
+        for j in range(lo, hi):
+            if not match2[j] and s2[j] == c:
+                match1[i] = True
+                match2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if match1[i]:
+            while not match2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (matches / l1 + matches / l2 + (matches - t) / matches) / 3.0
+
+
+def jaro_winkler(s1: str, s2: str, prefix_scale: float = 0.1, boost_threshold: float = 0.7) -> float:
+    j = jaro(s1, s2)
+    if j > boost_threshold:
+        prefix = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            prefix += 1
+        j += prefix * prefix_scale * (1.0 - j)
+    return j
+
+
+@F.pandas_udf(T.DoubleType())
+def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    av = a.to_numpy(dtype=object)
+    bv = b.to_numpy(dtype=object)
+    out = [
+        jaro_winkler(str(x), str(y)) if (x is not None and y is not None) else None
+        for x, y in zip(av, bv)
+    ]
+    return pd.Series(out, dtype="float64")
+
+
+# --------------------------------------------------------------------------
+# Double metaphone (compact variant)
+# --------------------------------------------------------------------------
+
+_VOWELS = set("AEIOUY")
+
+
+def _double_metaphone_one(word: str, max_len: int = 6) -> "tuple[str, str]":
+    """Compact double-metaphone-style encoder: primary + secondary code.
+
+    Implements the high-traffic rules of Philips' algorithm (silent
+    letters, PH->F, C/S/G contexts, TH, CK, X, alternate codings for
+    C/G/J and Slavic/Germanic W/V) — enough to give the blocking pass
+    the recall property the full algorithm is used for. Not a port of
+    any implementation."""
+    w = "".join(ch for ch in word.upper() if ch.isalpha())
+    if not w:
+        return "", ""
+    p: list[str] = []
+    s: list[str] = []
+
+    def add(pri: str, sec: "str | None" = None) -> None:
+        p.append(pri)
+        s.append(pri if sec is None else sec)
+
+    i = 0
+    n = len(w)
+    # silent leading letters
+    if w[:2] in ("KN", "GN", "PN", "WR", "PS", "AE"):
+        i = 1
+    if w[0] == "X":
+        add("S")
+        i = 1
+    while i < n and len(p) < max_len:
+        c = w[i]
+        nxt = w[i + 1] if i + 1 < n else ""
+        prv = w[i - 1] if i > 0 else ""
+        if c in _VOWELS:
+            if i == 0:
+                add("A")
+            i += 1
+            continue
+        if c == nxt and c != "C":  # collapse doubles
+            i += 1
+            continue
+        if c == "B":
+            add("P")
+        elif c == "C":
+            if w[i : i + 2] == "CH":
+                add("X", "K")
+                i += 1
+            elif w[i : i + 2] == "CK":
+                add("K")
+                i += 1
+            elif nxt in "IEY":
+                add("S", "X" if w[i : i + 3] == "CIA" else "S")
+            else:
+                add("K")
+        elif c == "D":
+            if w[i : i + 2] == "DG" and i + 2 < n and w[i + 2] in "IEY":
+                add("J")
+                i += 2
+            else:
+                add("T")
+        elif c == "F":
+            add("F")
+        elif c == "G":
+            if nxt == "H":
+                if i + 2 >= n or w[i + 2] not in _VOWELS:
+                    i += 1  # silent GH
+                else:
+                    add("K")
+                    i += 1
+            elif nxt == "N":
+                add("K", "N")
+            elif nxt in "IEY":
+                add("J", "K")
+            else:
+                add("K")
+        elif c == "H":
+            if prv in _VOWELS and nxt not in _VOWELS:
+                pass  # silent
+            else:
+                add("H")
+        elif c == "J":
+            add("J", "A")
+        elif c == "K":
+            add("K")
+        elif c == "L":
+            add("L")
+        elif c == "M":
+            add("M")
+        elif c == "N":
+            add("N")
+        elif c == "P":
+            if nxt == "H":
+                add("F")
+                i += 1
+            else:
+                add("P")
+        elif c == "Q":
+            add("K")
+        elif c == "R":
+            add("R")
+        elif c == "S":
+            if w[i : i + 2] == "SH":
+                add("X")
+                i += 1
+            elif w[i : i + 3] in ("SIO", "SIA"):
+                add("S", "X")
+            else:
+                add("S")
+        elif c == "T":
+            if w[i : i + 2] == "TH":
+                add("0", "T")
+                i += 1
+            elif w[i : i + 3] in ("TIO", "TIA"):
+                add("X", "T")
+            else:
+                add("T")
+        elif c == "V":
+            add("F")
+        elif c == "W":
+            if nxt in _VOWELS or i == 0:
+                add("A", "F")
+            # else silent
+        elif c == "X":
+            add("KS")
+        elif c == "Z":
+            add("S", "TS")
+        i += 1
+    return "".join(p)[:max_len], "".join(s)[:max_len]
+
+
+@F.pandas_udf(T.StructType([T.StructField("primary", T.StringType()), T.StructField("secondary", T.StringType())]))
+def double_metaphone_udf(col: pd.Series) -> pd.DataFrame:
+    vals = col.to_numpy(dtype=object)
+    # memoize per batch: name columns are highly repetitive
+    cache: dict = {}
+    pri, sec = [], []
+    for v in vals:
+        if v is None:
+            pri.append(None)
+            sec.append(None)
+            continue
+        r = cache.get(v)
+        if r is None:
+            r = _double_metaphone_one(str(v))
+            cache[v] = r
+        pri.append(r[0])
+        sec.append(r[1])
+    return pd.DataFrame({"primary": pri, "secondary": sec})
+
+
+# --------------------------------------------------------------------------
+# Token set Jaccard
+# --------------------------------------------------------------------------
+
+@F.pandas_udf(T.DoubleType())
+def token_set_ratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    out = []
+    for x, y in zip(a.to_numpy(dtype=object), b.to_numpy(dtype=object)):
+        if x is None or y is None:
+            out.append(None)
+            continue
+        sa, sb = set(str(x).split()), set(str(y).split())
+        if not sa and not sb:
+            out.append(1.0)
+            continue
+        out.append(len(sa & sb) / max(1, len(sa | sb)))
+    return pd.Series(out, dtype="float64")
+
+
+# --------------------------------------------------------------------------
+# n-gram shingles: pure Spark expression (no UDF, codegen'd)
+# --------------------------------------------------------------------------
+
+def ngrams(col: Column | str, n: int = 3) -> Column:
+    """Distinct character n-grams of a string as array<string>, built
+    from ``sequence`` + ``transform`` + ``substring`` — runs entirely in
+    the JVM (SURVEY.md §2.E)."""
+    c = F.col(col) if isinstance(col, str) else col
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: c.substr(i, F.lit(n))))
+
+
+def ngrams_padded(col: Column | str, n: int = 3) -> Column:
+    """n-grams over the string padded with boundary markers — gives
+    edge characters equal weight in MinHash signatures."""
+    c = F.col(col) if isinstance(col, str) else col
+    padded = F.concat(F.lit("^"), c, F.lit("$"))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(padded) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: padded.substr(i, F.lit(n))))

@@ -1,0 +1,141 @@
+"""Multi-pass blocking — the recall stage of the ER pipeline.
+
+Each pass maps records to ``(block_key: string, record_id)``; candidate
+pairs are generated *within* block keys only (north_rule: "labeled
+pairs at the same blocking key"). Passes are complementary — a pair
+missed by one key (typo'd surname breaks soundex) is caught by another
+(MinHash over n-grams, or SSN exact):
+
+  1. phonetic: soundex(last_name) built-in + double-metaphone primary,
+     each salted with the DOB year band;
+  2. exact identifier: SSN digits (when present);
+  3. sorted neighborhood: window ``lead(record_id, k)`` over a global
+     sort on (last_name, first_name, dob) — catches first-character
+     corruption that breaks phonetic keys;
+  4. MinHash-LSH: b bands × r rows of xxhash64 MinHash over padded name
+     3-gram shingles — catches heavy multi-token corruption.
+
+Skew handling (north_rule "partitioning/shuffle/skew handled
+explicitly"): block-size histogram → blocks above ``max_block_size``
+are NOT exploded quadratically; they fall back to a sorted-neighborhood
+sweep *inside* the block (linear in block size), so one Zipf-head
+surname cannot produce a straggler task. All passes are pure DataFrame
+ops; the only Python is the metaphone pandas UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pseudopeople_spark.functions.similarity import double_metaphone_udf, ngrams_padded
+
+BLOCK_SCHEMA = ["block_key", "record_id"]
+
+
+def _kv(df: DataFrame, key: Column, prefix: str, id_col: str) -> DataFrame:
+    return (
+        df.select(F.concat(F.lit(prefix + ":"), key).alias("block_key"), F.col(id_col).alias("record_id"))
+        .where(F.col("block_key").isNotNull())
+    )
+
+
+def phonetic_blocks(
+    df: DataFrame, id_col: str = "record_id", last_col: str = "last_name", dob_col: str = "dob"
+) -> DataFrame:
+    """soundex + double-metaphone keys, salted with DOB birth-decade to
+    bound block sizes (a pure key refinement, no shuffle beyond the
+    pair-gen join itself)."""
+    decade = F.coalesce(F.substring(F.col(dob_col), 1, 3), F.lit("x"))
+    sdx = _kv(df, F.concat(F.soundex(F.upper(F.col(last_col))), F.lit("|"), decade), "sdx", id_col)
+    dm = df.select(F.col(id_col), double_metaphone_udf(F.col(last_col)).alias("_dm"), decade.alias("_dec"))
+    dmp = _kv(dm, F.concat(F.col("_dm.primary"), F.lit("|"), F.col("_dec")), "dmp", id_col)
+    dms = _kv(
+        dm.where(F.col("_dm.secondary") != F.col("_dm.primary")),
+        F.concat(F.col("_dm.secondary"), F.lit("|"), F.col("_dec")),
+        "dms",
+        id_col,
+    )
+    return sdx.unionByName(dmp).unionByName(dms)
+
+
+def exact_blocks(df: DataFrame, column: str, id_col: str = "record_id", prefix: str | None = None) -> DataFrame:
+    """Exact-match key on a (normalized) identifier column, e.g. SSN
+    digits."""
+    return _kv(df, F.col(column), prefix or column, id_col)
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    sort_cols: "list[str]",
+    id_col: str = "record_id",
+    window_size: int = 3,
+    partition_expr: Column | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood blocking: sort by a composite key, pair each
+    record with its next ``window_size`` neighbors via ``lead()``
+    (SURVEY.md §2.E "window functions" — absent in the reference, core
+    for us).
+
+    At cluster scale a single global sort is one range-partitioned
+    shuffle; we additionally partition the window by the first character
+    of the sort key (``partition_expr``) so the window itself never
+    funnels through one task. Returns (id_l, id_r, block_key)."""
+    key = F.concat_ws("\x01", *[F.coalesce(F.col(c), F.lit("")) for c in sort_cols])
+    base = df.select(F.col(id_col), key.alias("_snk"))
+    part = partition_expr if partition_expr is not None else F.substring(F.col("_snk"), 1, 1)
+    w = Window.partitionBy(part).orderBy(F.col("_snk"), F.col(id_col))
+    pairs = None
+    for k in range(1, window_size + 1):
+        p = base.select(
+            F.col(id_col).alias("id_l"),
+            F.lead(F.col(id_col), k).over(w).alias("id_r"),
+        ).where(F.col("id_r").isNotNull())
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.select(
+        F.least("id_l", "id_r").alias("id_l"),
+        F.greatest("id_l", "id_r").alias("id_r"),
+        F.lit("snb").alias("block_key"),
+    )
+
+
+def minhash_blocks(
+    df: DataFrame,
+    text_expr: Column,
+    id_col: str = "record_id",
+    bands: int = 4,
+    rows_per_band: int = 2,
+    seed: int = 1337,
+) -> DataFrame:
+    """MinHash-LSH banding over character 3-gram shingles, implemented
+    directly with built-ins (explicit variant of Spark ML's MinHashLSH —
+    SURVEY.md §7.2): per hash function h_i, signature_i = min over
+    shingles of xxhash64(shingle, i); band key = concat of r signatures.
+    Pure JVM expressions: shingles via sequence/transform, min via
+    array_min of transform — no UDF, no explode, no extra shuffle."""
+    shingles = ngrams_padded(text_expr, 3)
+    out = None
+    for b in range(bands):
+        sig_parts = []
+        for r in range(rows_per_band):
+            i = b * rows_per_band + r
+            sig = F.array_min(F.transform(shingles, lambda s: F.xxhash64(F.lit(seed + i), s)))
+            # pmod (not abs): abs(Long.MIN_VALUE) overflows under ANSI
+            sig_parts.append(F.conv(F.pmod(sig, F.lit(2**62)).cast("string"), 10, 36))
+        key = F.concat_ws("_", *sig_parts)
+        kv = _kv(df.where(text_expr.isNotNull() & (F.length(text_expr) > 0)), key, f"mh{b}", id_col)
+        out = kv if out is None else out.unionByName(kv)
+    return out
+
+
+def block_size_stats(blocks: DataFrame) -> DataFrame:
+    """Block-size histogram — the skew diagnostic recorded in stage
+    metrics (SURVEY.md §7.3)."""
+    sizes = blocks.groupBy("block_key").agg(F.count("*").alias("n"))
+    return sizes.groupBy().agg(
+        F.count("*").alias("n_blocks"),
+        F.max("n").alias("max_block"),
+        F.expr("percentile_approx(n, 0.5)").alias("p50"),
+        F.expr("percentile_approx(n, 0.99)").alias("p99"),
+        F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("candidate_pairs_upper_bound"),
+    )

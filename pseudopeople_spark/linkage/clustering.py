@@ -1,0 +1,101 @@
+"""Transitive clustering: iterative large-star / small-star connected
+components (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14) as a driver-controlled DataFrame loop.
+
+Why this algorithm: it converges in O(log^2 n) rounds on any graph,
+every round is two groupBy-aggregations — no vertex-program framework,
+no GraphFrames dependency, and it is the shape that survives 10^12
+nodes (each round's shuffle is on node id, uniformly distributed by
+construction since node ids are xxhash64 of record ids).
+
+Driver responsibilities (SURVEY.md §4 #2):
+  * ``localCheckpoint()`` every round to truncate lineage — naive loops
+    OOM the driver with exponentially growing plans;
+  * convergence = edge-set fingerprint (count + sum of pair hashes)
+    unchanged — one lightweight action per round, no expensive
+    ``exceptAll``.
+
+Node ids are int64 (xxhash64 of record ids, collision odds ~n²/2⁶⁴;
+the id->record mapping is kept and re-joined at the end).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every neighbor larger than u to u's minimum neighbor
+    (including u itself)."""
+    und = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = und.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("mn", "u").alias("m"))
+    return (
+        und.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges high->low, connect all small neighbors (and u) to
+    the minimum."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    nbrs = oriented.join(mins, "u").where(F.col("v") != F.col("m")).select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    selfe = mins.select(F.col("u"), F.col("m").alias("v"))
+    return nbrs.union(selfe).distinct()
+
+
+def _fingerprint(edges: DataFrame) -> "tuple[int, int]":
+    row = edges.agg(
+        F.count("*").alias("n"),
+        # sum in unbounded decimal: int64 sums overflow under ANSI mode
+        F.coalesce(F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 25, checkpoint_every: int = 1
+) -> DataFrame:
+    """edges: (u:int64, v:int64) -> assignments (u:int64, component:int64).
+
+    Alternates large-star / small-star until the edge set is a fixed
+    point (a forest of depth-1 stars pointing at component minima)."""
+    e = edges.select("u", "v").where(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    prev_fp = None
+    for i in range(max_iterations):
+        e = _small_star(_large_star(e))
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            e = e.localCheckpoint()
+        fp = _fingerprint(e)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    # star edges now point node -> component min; include roots themselves
+    assign = e.select(F.col("u"), F.col("v").alias("component"))
+    roots = e.select(F.col("v").alias("u"), F.col("v").alias("component")).distinct()
+    return assign.union(roots).groupBy("u").agg(F.min("component").alias("component"))
+
+
+def cluster_records(edges_by_record: DataFrame, all_records: DataFrame, id_col: str = "record_id") -> DataFrame:
+    """(id_l, id_r) match edges -> (record_id, cluster_id) covering ALL
+    records (singletons keep their own hash as cluster id)."""
+    ids = all_records.select(F.col(id_col).alias("record_id")).distinct().withColumn(
+        "u", F.xxhash64("record_id")
+    )
+    edges = (
+        edges_by_record.select(F.xxhash64("id_l").alias("u"), F.xxhash64("id_r").alias("v"))
+    )
+    comp = connected_components(edges)
+    return (
+        ids.join(comp, "u", "left")
+        .select("record_id", F.coalesce("component", F.col("u")).alias("cluster_id"))
+    )

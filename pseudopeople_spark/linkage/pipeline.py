@@ -1,0 +1,161 @@
+"""End-to-end entity-resolution pipeline:
+
+    span docs -> decode -> normalize -> multi-pass blocking ->
+    skew-aware pair gen -> batched scoring -> thresholded edges ->
+    large-star/small-star connected components -> clusters
+
+Every stage boundary is an optional checkpoint (StageCheckpointer);
+each stage's KPIs (block-size histogram, candidate-pair count, match
+rate) land in the stage metrics.
+
+Stage shuffle budget (the thing that matters at 10^12 docs):
+  1 shuffle for pair dedup (hash on pair key),
+  2 hash joins to attach fields (on record_id),
+  O(log n) small shuffles for connected components on the (tiny)
+  match-edge set. Blocking itself is narrow except the pair join.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pseudopeople_spark.checkpoint import StageCheckpointer
+from pseudopeople_spark.linkage import blocking, pairs as pairgen, scoring
+from pseudopeople_spark.linkage.clustering import cluster_records
+from pseudopeople_spark.linkage.metrics import pairwise_f1_on_candidates
+
+
+@dataclass
+class ResolveConfig:
+    threshold: float = 0.88
+    max_block_size: int = 100
+    minhash_bands: int = 4
+    minhash_rows: int = 2
+    snb_window: int = 3
+    use_sorted_neighborhood: bool = True
+    use_minhash: bool = True
+    checkpoint_dir: "str | None" = None
+
+
+CANONICAL_FIELDS = ["first_name", "last_name", "dob", "ssn_digits", "zipcode", "city", "state", "sex"]
+
+
+def _dob_digits(col: Column, fmt: str) -> Column:
+    """Rearrange a dataset-format date STRING into yyyyMMdd digit form
+    *without parsing* — noised dates (swapped month/day, wrong digits)
+    must survive normalization verbatim (they are evidence, not
+    timestamps)."""
+    if fmt == "MM/dd/yyyy":
+        return F.concat(col.substr(7, 4), col.substr(1, 2), col.substr(4, 2))
+    if fmt == "MMddyyyy":
+        return F.concat(col.substr(5, 4), col.substr(1, 2), col.substr(3, 2))
+    if fmt == "yyyyMMdd":
+        return col
+    raise ValueError(fmt)
+
+
+def normalize_records(
+    df: DataFrame,
+    dataset_name: str,
+    date_format: str = "MM/dd/yyyy",
+    column_map: "dict[str, str] | None" = None,
+) -> DataFrame:
+    """Map a dataset extract onto the canonical linkage schema:
+    (record_id, dataset, first_name, last_name, dob, ssn_digits,
+    zipcode, city, state, sex). Missing fields become nulls; strings are
+    upper-cased and trimmed. column_map: canonical -> source column."""
+    m = column_map or {}
+
+    def src(canon: str) -> "Column | None":
+        name = m.get(canon, canon)
+        return F.col(name) if name in df.columns else None
+
+    def clean(c: "Column | None") -> Column:
+        if c is None:
+            return F.lit(None).cast("string")
+        out = F.upper(F.trim(c.cast("string")))
+        return F.when(out == "", None).otherwise(out)
+
+    dob_src = src("dob") if "dob" in m else (F.col("date_of_birth") if "date_of_birth" in df.columns else None)
+    ssn_src = src("ssn_digits") if "ssn_digits" in m else (F.col("ssn") if "ssn" in df.columns else None)
+    return df.select(
+        F.col("record_id"),
+        F.lit(dataset_name).alias("dataset"),
+        clean(src("first_name")).alias("first_name"),
+        clean(src("last_name")).alias("last_name"),
+        (_dob_digits(dob_src.cast("string"), date_format) if dob_src is not None else F.lit(None).cast("string")).alias("dob"),
+        (F.regexp_replace(ssn_src.cast("string"), "[^0-9]", "") if ssn_src is not None else F.lit(None).cast("string")).alias("ssn_digits"),
+        clean(src("zipcode")).alias("zipcode"),
+        clean(src("city")).alias("city"),
+        clean(src("state")).alias("state"),
+        clean(src("sex")).alias("sex"),
+    )
+
+
+def candidate_blocks(records: DataFrame, cfg: ResolveConfig) -> DataFrame:
+    """Union of all blocking passes as (block_key, record_id)."""
+    b = blocking.phonetic_blocks(records)
+    b = b.unionByName(blocking.exact_blocks(records.where(F.length("ssn_digits") == 9), "ssn_digits", prefix="ssn"))
+    if cfg.use_minhash:
+        name_text = F.concat_ws(
+            " ", F.coalesce(F.col("first_name"), F.lit("")), F.coalesce(F.col("last_name"), F.lit(""))
+        )
+        b = b.unionByName(
+            blocking.minhash_blocks(records, name_text, bands=cfg.minhash_bands, rows_per_band=cfg.minhash_rows)
+        )
+    return b
+
+
+def resolve(
+    spark: SparkSession,
+    records: DataFrame,
+    cfg: "ResolveConfig | None" = None,
+    truth: "DataFrame | None" = None,
+) -> "dict":
+    """Run the full pipeline on canonical records. Returns dict with
+    DataFrames (blocks, pairs, scored, edges, assignments) and, when
+    ``truth`` (record_id, simulant_id) is given, the pairwise-F1
+    metrics."""
+    cfg = cfg or ResolveConfig()
+    ckpt = StageCheckpointer(spark, cfg.checkpoint_dir or "", enabled=bool(cfg.checkpoint_dir))
+
+    # Materialize the (noised) input once: every downstream stage joins
+    # against it, and the noising plan upstream is deep.
+    records = records.localCheckpoint()
+    blocks = ckpt.run("blocking", lambda: candidate_blocks(records, cfg), upstream=["normalize"])
+
+    def _pairs() -> DataFrame:
+        p = pairgen.pairs_from_blocks(blocks, max_block_size=cfg.max_block_size)
+        if cfg.use_sorted_neighborhood:
+            snb = blocking.sorted_neighborhood_pairs(
+                records, ["last_name", "first_name", "dob"], window_size=cfg.snb_window
+            ).select("id_l", "id_r")
+            p = p.unionByName(snb).dropDuplicates(["id_l", "id_r"])
+        return p
+
+    cand = ckpt.run("pairs", _pairs, upstream=["blocking"])
+
+    def _scored() -> DataFrame:
+        with_fields = scoring.attach_pair_fields(cand, records, CANONICAL_FIELDS)
+        return scoring.score_pairs(with_fields).select("id_l", "id_r", "score")
+
+    scored = ckpt.run("scoring", _scored, upstream=["pairs"])
+    edges = scoring.match_edges(scored, cfg.threshold)
+    assignments = ckpt.run(
+        "clustering", lambda: cluster_records(edges, records), upstream=["scoring"]
+    )
+
+    out = {
+        "records": records,
+        "blocks": blocks,
+        "pairs": cand,
+        "scored": scored,
+        "edges": edges,
+        "assignments": assignments,
+    }
+    if truth is not None:
+        out["metrics"] = pairwise_f1_on_candidates(cand, assignments, truth)
+    return out

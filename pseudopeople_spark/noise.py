@@ -20,7 +20,7 @@ from pseudopeople_spark import datasets as D
 from pseudopeople_spark.operators import assets
 from pseudopeople_spark.operators import column_noise as cn
 from pseudopeople_spark.operators import row_noise as rn
-from pseudopeople_spark.operators.kernels import apply_token_noise
+from pseudopeople_spark.operators.kernels import apply_token_noise_plan
 
 ADDRESS_COLUMNS = [
     "street_number", "street_name", "unit_number", "city", "state", "zipcode",
@@ -65,6 +65,7 @@ def noise_dataset(
     # --- column noise, declaration order per column
     for col in spec.columns:
         c_cfg = col_cfg.get(col.name, {})
+        token_plan = []  # phonetic/OCR/typos batched into ONE Arrow crossing
         for nt in D.COLUMN_NOISE_ORDER:
             if nt not in col.noise_types or nt not in c_cfg:
                 continue
@@ -101,20 +102,13 @@ def noise_dataset(
                 fakes = assets.FAKE_FIRST_NAMES if "first" in col.name or "middle" in col.name else assets.FAKE_LAST_NAMES
                 df = cn.use_fake_name(df, col.name, key_col, fakes, p=p, seed=seed)
             elif nt == D.MAKE_PHONETIC_ERRORS:
-                df = apply_token_noise(
-                    df, col.name, key_col, "make_phonetic_errors", assets.PHONETIC_VARIANTS,
-                    cell_probability=p, token_probability=tp, seed=seed,
-                )
+                token_plan.append(("make_phonetic_errors", assets.PHONETIC_VARIANTS, p, tp))
             elif nt == D.MAKE_OCR_ERRORS:
-                df = apply_token_noise(
-                    df, col.name, key_col, "make_ocr_errors", assets.OCR_ERRORS,
-                    cell_probability=p, token_probability=tp, seed=seed,
-                )
+                token_plan.append(("make_ocr_errors", assets.OCR_ERRORS, p, tp))
             elif nt == D.MAKE_TYPOS:
-                df = apply_token_noise(
-                    df, col.name, key_col, "make_typos", assets.QWERTY_NEIGHBORS,
-                    cell_probability=p, token_probability=tp, seed=seed,
-                )
+                token_plan.append(("make_typos", assets.QWERTY_NEIGHBORS, p, tp))
+        if token_plan:
+            df = apply_token_noise_plan(df, col.name, key_col, token_plan, seed=seed)
 
     # final projection to the declared output schema, declared order
     keep = [c for c in spec.column_names if c in df.columns]

@@ -157,6 +157,95 @@ def make_typos_udf(
     return typos
 
 
+def make_combined_token_noise_udf(specs: "list[tuple[str, Mapping, float, int]]"):
+    """ONE pandas UDF applying several token-noise kinds in sequence —
+    (kind, rules, token_probability, salt) per spec, each with its own
+    CRN mask column. Collapsing phonetic→OCR→typos into a single Arrow
+    crossing cuts the Python round-trips per noised column from 3 to 1
+    (the dominant fixed cost of the noising stage)."""
+    prepared = []
+    for kind, rules, tp, salt in specs:
+        if kind == "make_typos":
+            prepared.append(("typo", {k: str(v) for k, v in rules.items()}, tp, salt, 1))
+        else:
+            frozen = {k: tuple(v) for k, v in rules.items()}
+            prepared.append(("tok", frozen, tp, salt, max(len(k) for k in frozen)))
+
+    def _typo_one(s: str, row_key: int, frozen, tp: float, salt: int) -> str:
+        out: list[str] = []
+        rk = np.uint64(row_key)
+        st = np.uint64(salt)
+        for i, ch in enumerate(s):
+            nbrs = frozen.get(ch.lower())
+            if nbrs is None:
+                out.append(ch)
+                continue
+            if splitmix64_u01([rk, np.uint64(i), st]) >= tp:
+                out.append(ch)
+                continue
+            u2 = splitmix64_u01([rk, np.uint64(i), st + np.uint64(1)])
+            typo = nbrs[int(u2 * len(nbrs))]
+            if ch.isupper():
+                typo = typo.upper()
+            if splitmix64_u01([rk, np.uint64(i), st + np.uint64(2)]) < 0.1:
+                out.append(ch)
+            out.append(typo)
+        return "".join(out)
+
+    @F.pandas_udf(T.StringType())
+    def combined(key: pd.Series, *args: pd.Series) -> pd.Series:
+        masks = args[:-1]
+        val = args[-1]
+        out = val.copy()
+        keys = key.to_numpy(dtype=np.int64).astype(np.uint64)
+        vals = out.to_numpy(dtype=object)
+        notna = val.notna().to_numpy(dtype=bool)
+        for spec, mask in zip(prepared, masks):
+            kind, rules, tp, salt, mx = spec
+            sel = mask.fillna(False).to_numpy(dtype=bool) & notna
+            idx = np.nonzero(sel)[0]
+            if len(idx) == 0:
+                continue
+            if kind == "typo":
+                for j in idx:
+                    vals[j] = _typo_one(str(vals[j]), int(keys[j]), rules, tp, salt)
+            else:
+                for j in idx:
+                    vals[j] = _corrupt_tokens_one(str(vals[j]), int(keys[j]), salt, rules, mx, tp)
+        return pd.Series(vals, index=val.index, dtype=object)
+
+    return combined
+
+
+def apply_token_noise_plan(
+    df,
+    column: str,
+    key_col: str,
+    plan: "list[tuple[str, Mapping, float, float]]",
+    seed: int = 0,
+    u01: Callable = None,
+):
+    """Apply [(kind, rules, cell_probability, token_probability), ...]
+    to one column through a single combined UDF call. Masks and the
+    int64 row key are computed JVM-side (CRN)."""
+    from pseudopeople_spark.crn import hash_u01
+
+    u01 = u01 or hash_u01
+    specs = []
+    mask_cols = []
+    for kind, rules, cp, tp in plan:
+        decision = f"{kind}_{column}"
+        specs.append((kind, rules, tp, _salt(seed, decision)))
+        mask_cols.append(
+            F.col(column).isNotNull()
+            & (F.col(column).cast("string") != "")
+            & (u01(F.col(key_col), seed, decision) < cp)
+        )
+    udf = make_combined_token_noise_udf(specs)
+    key64 = F.xxhash64(F.lit(str(seed)), F.lit(f"tok_{column}"), F.col(key_col).cast("string"))
+    return df.withColumn(column, udf(key64, *mask_cols, F.col(column)))
+
+
 def _salt(seed: int, decision: str) -> int:
     acc = int(seed) & 0xFFFFFFFFFFFFFFFF
     for ch in decision:
