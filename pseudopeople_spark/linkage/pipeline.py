@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pseudopeople_spark.checkpoint import StageCheckpointer
+from pseudopeople_spark.operators.assets import FAKE_FIRST_NAMES, FAKE_LAST_NAMES, NICKNAMES
 from pseudopeople_spark.linkage import blocking, pairs as pairgen, scoring
 from pseudopeople_spark.linkage.clustering import cluster_records
 from pseudopeople_spark.linkage.metrics import pairwise_f1_on_candidates
@@ -30,7 +31,7 @@ from pseudopeople_spark.linkage.metrics import pairwise_f1_on_candidates
 
 @dataclass
 class ResolveConfig:
-    threshold: float = 0.88
+    threshold: float = 0.92
     max_block_size: int = 100
     minhash_bands: int = 4
     minhash_rows: int = 2
@@ -40,7 +41,7 @@ class ResolveConfig:
     checkpoint_dir: "str | None" = None
 
 
-CANONICAL_FIELDS = ["first_name", "last_name", "dob", "ssn_digits", "zipcode", "city", "state", "sex"]
+CANONICAL_FIELDS = ["first_name", "middle", "last_name", "dob", "ssn_digits", "zipcode", "city", "state", "sex"]
 
 
 def _dob_digits(col: Column, fmt: str) -> Column:
@@ -73,19 +74,61 @@ def normalize_records(
         name = m.get(canon, canon)
         return F.col(name) if name in df.columns else None
 
-    def clean(c: "Column | None") -> Column:
+    # nickname -> canonical given name (first mapping wins on conflicts);
+    # tiny table, shipped as a map literal — no join
+    nick2canon: "dict[str, str]" = {}
+    for canon, nicks in NICKNAMES.items():
+        for n in nicks:
+            nick2canon.setdefault(n.upper(), canon.upper())
+    nick_kv = []
+    for k, v in nick2canon.items():
+        nick_kv += [F.lit(k), F.lit(v)]
+    nick_map = F.create_map(*nick_kv)
+
+    def clean(
+        c: "Column | None",
+        strip_fakes: "tuple | None" = None,
+        canonicalize_nicknames: bool = False,
+    ) -> Column:
         if c is None:
             return F.lit(None).cast("string")
         out = F.upper(F.trim(c.cast("string")))
-        return F.when(out == "", None).otherwise(out)
+        out = F.when(out == "", None).otherwise(out)
+        if canonicalize_nicknames:
+            # fold nicknames onto their canonical given name (the
+            # inverse of the use_nickname noise channel); applied before
+            # fake stripping so DON -> DONALD survives the short-fake
+            # edit-distance screen
+            out = F.coalesce(nick_map.getItem(out), out)
+        if strip_fakes:
+            # placeholder/fake names (the use_fake_name noise channel)
+            # carry zero identity signal — treat as missing, exactly
+            # like production ER name-cleaning would. Long placeholders
+            # are matched within edit distance 1 (they get typo'd too);
+            # short ones exactly.
+            exact = [x.upper() for x in strip_fakes]
+            out = F.when(out.isin(*exact), None).otherwise(out)
+            long_fakes = [x for x in exact if len(x) >= 4]
+            if long_fakes:
+                min_lev = F.least(*[F.levenshtein(out, F.lit(x)) for x in long_fakes])
+                out = F.when(min_lev <= 1, None).otherwise(out)
+        return out
 
     dob_src = src("dob") if "dob" in m else (F.col("date_of_birth") if "date_of_birth" in df.columns else None)
+    if "middle" not in m:
+        for cand in ("middle", "middle_initial", "middle_name"):
+            if cand in df.columns:
+                m["middle"] = cand
+                break
     ssn_src = src("ssn_digits") if "ssn_digits" in m else (F.col("ssn") if "ssn" in df.columns else None)
     return df.select(
         F.col("record_id"),
         F.lit(dataset_name).alias("dataset"),
-        clean(src("first_name")).alias("first_name"),
-        clean(src("last_name")).alias("last_name"),
+        F.when(
+            clean(src("first_name")).rlike("[0-9]"), None  # OCR/typo garbage
+        ).otherwise(clean(src("first_name"), FAKE_FIRST_NAMES, canonicalize_nicknames=True)).alias("first_name"),
+        F.substring(clean(src("middle"), FAKE_FIRST_NAMES), 1, 1).alias("middle"),
+        clean(src("last_name"), FAKE_LAST_NAMES).alias("last_name"),
         (_dob_digits(dob_src.cast("string"), date_format) if dob_src is not None else F.lit(None).cast("string")).alias("dob"),
         (F.regexp_replace(ssn_src.cast("string"), "[^0-9]", "") if ssn_src is not None else F.lit(None).cast("string")).alias("ssn_digits"),
         clean(src("zipcode")).alias("zipcode"),
@@ -140,7 +183,10 @@ def resolve(
 
     def _scored() -> DataFrame:
         with_fields = scoring.attach_pair_fields(cand, records, CANONICAL_FIELDS)
-        return scoring.score_pairs(with_fields).select("id_l", "id_r", "score")
+        keep = ["id_l", "id_r", "score", "sim_first_name", "sim_last_name", "sim_dob",
+                "sim_middle", "sim_zipcode", "sim_city", "sim_sex",
+                "l_first_name", "r_first_name", "l_ssn_digits", "r_ssn_digits"]
+        return scoring.score_pairs(with_fields).select(*keep)
 
     scored = ckpt.run("scoring", _scored, upstream=["pairs"])
     edges = scoring.match_edges(scored, cfg.threshold)

@@ -36,8 +36,9 @@ class FieldSpec:
 
 DEFAULT_FIELDS: "tuple[FieldSpec, ...]" = (
     FieldSpec("first_name", "jw", 1.2),
+    FieldSpec("middle", "exact", 0.4),
     FieldSpec("last_name", "jw", 1.6),
-    FieldSpec("dob", "lev", 2.2),
+    FieldSpec("dob", "dob", 2.2),
     FieldSpec("ssn_digits", "lev", 3.0),
     FieldSpec("zipcode", "exact", 0.6),
     FieldSpec("city", "exact", 0.4),
@@ -56,6 +57,8 @@ def _sim(spec: FieldSpec) -> Column:
     a, b = F.col(f"l_{spec.name}"), F.col(f"r_{spec.name}")
     if spec.kind == "jw":
         s = jaro_winkler_udf(F.upper(a), F.upper(b))
+    elif spec.kind == "dob":
+        return dob_similarity(a, b)
     elif spec.kind == "lev":
         max_len = F.greatest(F.length(a), F.length(b))
         s = F.lit(1.0) - F.levenshtein(a, b).cast("double") / max_len
@@ -78,6 +81,113 @@ def score_pairs(pairs_with_fields: DataFrame, fields: "tuple[FieldSpec, ...]" = 
     return df.withColumn("score", F.when(den > 0, num / den).otherwise(F.lit(0.0)))
 
 
-def match_edges(scored: DataFrame, threshold: float = 0.88) -> DataFrame:
-    """Thresholded match edges for the clustering stage."""
-    return scored.where(F.col("score") >= threshold).select("id_l", "id_r", "score")
+def swap_month_day(dob: Column) -> Column:
+    """yyyyMMdd with month/day transposed — inverts the reference's
+    swap_month_and_day noise for comparison purposes."""
+    return F.concat(dob.substr(1, 4), dob.substr(7, 2), dob.substr(5, 2))
+
+
+def dob_similarity(a: Column, b: Column) -> Column:
+    """[0,1] similarity of two yyyyMMdd strings that treats a month/day
+    transposition as an exact match (it is the single most common date
+    corruption — reference swap_months_and_days) and otherwise falls
+    back to normalized edit distance."""
+    lev = F.lit(1.0) - F.levenshtein(a, b).cast("double") / F.greatest(F.length(a), F.length(b))
+    return F.when(a.isNull() | b.isNull(), None).otherwise(
+        F.when((a == b) | (swap_month_day(a) == b), 1.0).otherwise(lev)
+    )
+
+
+def tiered_match(scored: DataFrame, threshold: float = 0.92) -> DataFrame:
+    """Decision layer on top of the similarity vector — a deterministic
+    rule cascade, each tier motivated by one of the reference's noise
+    channels, with the weighted score as the probabilistic fallback:
+
+      tier 1  SSN exact + (first-name agrees OR dob agrees).
+              The corroboration guard matters: copy_from_household_member
+              puts a SPOUSE's ssn on 1% of tax rows, so a bare SSN join
+              would merge households.
+      tier 2  dob agrees (incl. month/day-swap) + last name strong +
+              (first name strong OR missing). Covers the no-SSN
+              census pairs.
+      tier 3  weighted score >= threshold with >=3 identity fields
+              (first/last/dob/ssn) present on both sides — the
+              evidence floor kills sparse pairs whose few overlapping
+              fields renormalize to a perfect score.
+      veto    decisive first-name disagreement (both present, JW<0.6)
+              blocks tiers 2-3: copy-noise gives spouses/siblings an
+              identical dob at the same address, and first name is then
+              the only discriminating field.
+
+    All columns here are JVM expressions over the already-computed sims.
+    """
+    jf, jl = F.col("sim_first_name"), F.col("sim_last_name")
+    dob = F.col("sim_dob")
+    mid = F.col("sim_middle")
+    sex = F.col("sim_sex")
+    ssn_exact = (F.col("l_ssn_digits") == F.col("r_ssn_digits")) & (F.length("l_ssn_digits") == 9)
+    first_missing = F.col("l_first_name").isNull() | F.col("r_first_name").isNull()
+    mid_compat = mid.isNull() | (mid == 1.0)   # middle initial doesn't contradict
+    sex_compat = sex.isNull() | (sex == 1.0)   # sex doesn't contradict
+    geo_exact = (F.col("sim_zipcode") == 1.0) & (F.col("sim_city") == 1.0)
+    evidence = (
+        (jf.isNotNull()).cast("int")
+        + (jl.isNotNull()).cast("int")
+        + (dob.isNotNull()).cast("int")
+        + (mid.isNotNull()).cast("int")
+        + (F.col("sim_zipcode").isNotNull()).cast("int")
+        + (F.col("l_ssn_digits").isNotNull() & F.col("r_ssn_digits").isNotNull()).cast("int")
+    )
+    veto = jf.isNotNull() & (jf < 0.7)
+    # tier 1: SSN agreement, corroborated. The corroboration matters:
+    # copy_from_household_member puts a RELATIVE's ssn on 1% of tax rows,
+    # so a bare SSN join would merge households. When first name or dob
+    # is blanked, last-name + non-conflicting dob corroborates instead.
+    tier1 = ssn_exact & (
+        (jf >= 0.8)
+        | (dob >= 0.85)
+        | ((jl >= 0.85) & (jf.isNull() | dob.isNull()) & (dob.isNull() | (dob >= 0.55)))
+    )
+    # tier 2: dob agreement (incl. month/day swap) + strong last name +
+    # first agrees or is missing (blank/fake-name noise); a missing
+    # first must not be contradicted by middle initial or sex
+    tier2 = (dob == 1.0) & (jl >= 0.85) & (
+        (jf >= 0.85) | (first_missing & mid_compat & sex_compat)
+    )
+    # tier 3: probabilistic fallback with an evidence floor (sparse
+    # pairs renormalize to perfect scores) and the first-name veto
+    tier3 = (F.col("score") >= threshold) & (evidence >= 3) & ~veto
+    # tier 4: dob missing on one side (leave_blank) — near-exact names
+    # + independent corroboration
+    tier4 = dob.isNull() & (jf >= 0.95) & (jl >= 0.95) & ((mid == 1.0) | geo_exact) & ~veto & sex_compat
+    # tier 5: dob conflict (copy_from_household_member puts a relative's
+    # dob on the row). The danger class is same-name kin at the same
+    # address (parent/child, same-name siblings), so demand either a
+    # near-agreeing dob with compatible middle/sex, or an exactly
+    # matching middle initial with a half-agreeing dob.
+    tier5 = (
+        (jl >= 0.95) & ~veto & sex_compat
+        & (
+            ((jf >= 0.85) & (dob >= 0.75) & mid_compat)
+            | ((jf >= 0.95) & (dob >= 0.55) & (mid == 1.0))
+            | ((jf >= 0.95) & (dob >= 0.55) & geo_exact & mid_compat)
+        )
+    )
+    # tier 6: last name blanked on a side — first+dob exact with
+    # non-contradicting middle/sex (child records appear only in
+    # census+ssa, where dob is the main identifier)
+    tier6 = jl.isNull() & (jf >= 0.95) & (dob == 1.0) & mid_compat & sex_compat
+    return scored.withColumn(
+        "is_match",
+        F.coalesce(tier1, F.lit(False))
+        | F.coalesce(tier2, F.lit(False))
+        | F.coalesce(tier3, F.lit(False))
+        | F.coalesce(tier4, F.lit(False))
+        | F.coalesce(tier5, F.lit(False))
+        | F.coalesce(tier6, F.lit(False)),
+    )
+
+
+def match_edges(scored: DataFrame, threshold: float = 0.92) -> DataFrame:
+    """Tiered match decision -> edges for the clustering stage."""
+    return tiered_match(scored, threshold).where(F.col("is_match")).select("id_l", "id_r", "score")
