@@ -1,0 +1,79 @@
+"""Token-corruption kernel tests — the reference's de-facto spec is
+exhaustive legal-output enumeration (its tests/unit/test_column_noise.py:45-168);
+we assert output legality, rate, determinism, and mask short-circuit."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from pseudopeople_spark.operators.kernels import (
+    _corrupt_tokens_one,
+    apply_token_noise_plan,
+    make_corrupt_tokens_udf,
+    make_typos_udf,
+)
+
+
+def test_corrupt_tokens_longest_match_first():
+    rules = {"ph": ("f",), "p": ("b",), "h": ("x",)}
+    # with p=1.0 every candidate corrupts; 'ph' must win over 'p'
+    out = _corrupt_tokens_one("phase", 123, 7, rules, 2, 1.0)
+    assert out.startswith("f"), out
+
+
+def test_corrupt_tokens_all_outputs_legal():
+    rules = {"5": ("S",), "LI": ("U",)}
+    outs = {_corrupt_tokens_one("5LI5", k, 1, rules, 2, 0.5) for k in range(300)}
+    legal = set()
+    for a in ("5", "S"):
+        for b in ("LI", "U"):
+            for c in ("5", "S"):
+                legal.add(a + b + c)
+    assert outs <= legal
+    assert len(outs) > 1, "some corruption must occur at p=0.5"
+
+
+def test_corrupt_tokens_rate():
+    rules = {"a": ("@",)}
+    n_corrupted = sum(_corrupt_tokens_one("aaaaaaaaaa", k, 3, rules, 1, 0.3).count("@") for k in range(500))
+    # 5000 independent draws at p=0.3
+    assert abs(n_corrupted / 5000 - 0.3) < 0.03
+
+
+def test_udf_mask_short_circuit(spark):
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.xxhash64("id").alias("k"),
+        (F.col("id") % 2 == 0).alias("m"),
+        F.lit("smith").alias("v"),
+    )
+    udf = make_corrupt_tokens_udf({"s": ("z",), "th": ("t",)}, token_probability=1.0, seed=1)
+    out = df.withColumn("o", udf("k", "m", "v"))
+    assert out.where(~F.col("m") & (F.col("o") != "smith")).count() == 0
+    assert out.where(F.col("m") & (F.col("o") == "smith")).count() == 0
+
+
+def test_typos_udf_case_and_insert(spark):
+    df = spark.range(2000).select(F.xxhash64("id").alias("k"), F.lit(True).alias("m"), F.lit("QQQQQ").alias("v"))
+    udf = make_typos_udf({"q": "12wa"}, token_probability=1.0, include_original_probability=0.0, seed=2)
+    rows = df.withColumn("o", udf("k", "m", "v")).select("o").collect()
+    for r in rows:
+        assert len(r["o"]) == 5
+        assert all(c in "12WA" for c in r["o"]), r["o"]  # uppercase preserved
+
+    udf_ins = make_typos_udf({"q": "w"}, token_probability=1.0, include_original_probability=1.0, seed=3)
+    row = df.limit(1).withColumn("o", udf_ins("k", "m", "v")).first()["o"]
+    assert row == "QWQWQWQWQW"  # original kept + typo inserted
+
+
+def test_apply_token_noise_plan_determinism_across_partitions(spark):
+    base = spark.range(5000).select(
+        F.concat(F.lit("r"), F.col("id").cast("string")).alias("record_id"),
+        F.lit("Johnson").alias("name"),
+    )
+    plan = [("make_typos", {"o": "ip", "n": "mh"}, 0.5, 0.5)]
+    a = apply_token_noise_plan(base.repartition(3), "name", "record_id", plan, seed=5)
+    b = apply_token_noise_plan(base.repartition(19), "name", "record_id", plan, seed=5)
+    da = {r["record_id"]: r["name"] for r in a.collect()}
+    db = {r["record_id"]: r["name"] for r in b.collect()}
+    assert da == db
+    assert any(v != "Johnson" for v in da.values())

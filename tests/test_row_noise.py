@@ -1,0 +1,73 @@
+"""Row-noise tests (reference tests/unit/test_row_noise.py model):
+omission rates, non-response structure, guardian duplication
+correctness."""
+
+from pyspark.sql import functions as F
+
+from pseudopeople_spark import synth
+from pseudopeople_spark.operators import row_noise as rn
+from tests.conftest import assert_proportion
+
+N = 20_000
+
+
+def test_omit_rows_rate_and_determinism(spark):
+    df = spark.range(N).select(F.col("id").alias("key"))
+    kept = rn.omit_rows(df, "key", p=0.0145, seed=1).count()
+    assert_proportion(N - kept, N, 0.0145, "omit_row")
+    kept2 = rn.omit_rows(df.repartition(13), "key", p=0.0145, seed=1).count()
+    assert kept == kept2
+
+
+def test_do_not_respond_structure(spark):
+    pop = synth.simulants(spark, 4000, seed=3)
+    census = synth.census_records(pop, 2020).withColumnRenamed("record_id", "key")
+    out = rn.do_not_respond(census, "key", configured_level=rn.DNR_DEFAULT_LEVEL, seed=2)
+    dropped = census.count() - out.count()
+    # overall level ~ base + adjustments: loose bounds
+    assert 0.005 * census.count() < dropped < 0.05 * census.count()
+    # oversampling transform drops ~half
+    out2 = rn.do_not_respond(census, "key", configured_level=rn.DNR_DEFAULT_LEVEL, seed=2, oversample_adjust=True)
+    assert_proportion(census.count() - out2.count(), census.count(), 0.51, "ACS/CPS oversample", slack_sigmas=8)
+
+
+def test_duplicate_rows(spark):
+    df = spark.range(N).select(F.col("id").cast("string").alias("key"))
+    out = rn.duplicate_rows(df, "key", p=0.05, seed=4)
+    assert_proportion(out.count() - N, N, 0.05, "duplicate_row")
+
+
+def test_duplicate_with_guardian(spark):
+    pop = synth.simulants(spark, 2000, seed=5)
+    census = synth.census_records(pop, 2020)
+    # In the synthesized population guardians co-reside with their
+    # dependents (same address), which makes the operator a no-op by
+    # design (it only duplicates when the guardian lives ELSEWHERE). For
+    # the test, point every child's guardian at the reference person of
+    # the NEXT household, whose address differs.
+    census = census.withColumn(
+        "guardian_1",
+        F.when(
+            F.col("guardian_1").isNotNull(),
+            F.format_string("%09d", (F.col("household_id").cast("bigint") + 1) * 4),
+        ),
+    ).withColumn("guardian_2", F.lit(None).cast("string"))
+    addr = ["street_number", "street_name", "unit_number", "city", "state", "zipcode"]
+    out = rn.duplicate_with_guardian(census, "record_id", addr, p_under_18=0.5, p_college=0.5, seed=6)
+    base_n = census.count()
+    dups = out.where(F.col("record_id").endswith("_dup")).localCheckpoint()
+    n_dups = dups.count()
+    n_children = census.where(F.col("guardian_1").isNotNull()).count()
+    assert_proportion(n_dups, n_children, 0.5, "duplicate_with_guardian rate", slack_sigmas=6)
+    # every duplicate carries the guardian's (different) address
+    orig_addr = census.select("simulant_id", *[F.col(c).alias(f"o_{c}") for c in addr])
+    joined = dups.join(orig_addr, "simulant_id")
+    diff = joined.where(
+        F.concat_ws("|", *[F.coalesce(F.col(c), F.lit("")) for c in addr])
+        != F.concat_ws("|", *[F.coalesce(F.col(f"o_{c}"), F.lit("")) for c in addr])
+    )
+    assert diff.count() == n_dups, "every duplicate must carry a DIFFERENT (guardian) address"
+    # duplicated rows keep the truth-deck simulant_id and get the
+    # remapped relationship
+    assert dups.where(F.col("relationship_to_reference_person") != "Other relative").count() == 0
+    assert out.count() == base_n + n_dups
