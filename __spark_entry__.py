@@ -1,38 +1,794 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``     — flagship: full ER pipeline (synth -> interleaved
+                       span docs -> noise -> blocking -> scoring -> CC)
+                       sized from the sf0.001 tables.
+``queries()``        — one entry per implemented operator family
+                       (SURVEY.md §2 + training-data-pipeline ops), each
+                       runnable on the provided TPC-H-ish tables.
+``oracle_sql()``     — DuckDB-equivalent SQL per query. Noise operators
+                       use the PORTABLE CRN (pseudopeople_spark.crn
+                       portable_u01) so DuckDB replays the exact draws.
+                       Non-SQL-expressible ops (soundex blocks, MinHash
+                       banding, streaming) omit the oracle -> rows-only
+                       check.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from pseudopeople_spark.crn import portable_u01, portable_u01_sql
+from pseudopeople_spark.functions.similarity import jaro_winkler_udf
+from pseudopeople_spark.linkage.clustering import connected_components
+from pseudopeople_spark.operators import column_noise as cn
+from pseudopeople_spark.operators import row_noise as rn
+
+SEED = 42
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ===========================================================================
+# entry — flagship ER pipeline
+# ===========================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Resolve noised Census+W2+SSA extracts back to simulant clusters.
 
-
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+    Population size is derived from the sf0.001 customer table (the
+    required testdata read); records travel as interleaved span docs.
+    Returns (record_id, cluster_id, simulant_id) assignments.
     """
-    return {}
+    from pseudopeople_spark import config, datasets as D, noise, synth
+    from pseudopeople_spark.linkage.pipeline import ResolveConfig, normalize_records, resolve
+    from pseudopeople_spark.spans import decode_records, encode_records
+
+    n_customers = _t(spark, "/root/testdata/sf0.001", "customer").count()
+    n = max(300, n_customers * 3)  # 450 simulants at sf0.001
+    pop = synth.simulants(spark, n, seed=SEED)
+    cfg = config.get_config()
+    census = noise.noise_dataset(synth.census_records(pop, 2020), D.DECENNIAL_CENSUS, cfg, seed=7)
+    w2 = noise.noise_dataset(synth.w2_records(pop, 2020), D.TAXES_W2_AND_1099, cfg, seed=8)
+    ssa = noise.noise_dataset(synth.ssa_records(pop), D.SOCIAL_SECURITY, cfg, seed=9)
+
+    def via_spans(df):
+        fields = [c for c in df.columns if c != "record_id"]
+        return decode_records(encode_records(df, "record_id", fields), fields).withColumnRenamed(
+            "doc_id", "record_id"
+        )
+
+    nc = normalize_records(via_spans(census), "census", "MM/dd/yyyy")
+    nw = normalize_records(
+        via_spans(w2), "w2", "MM/dd/yyyy",
+        column_map={"zipcode": "mailing_address_zipcode", "city": "mailing_address_city",
+                    "state": "mailing_address_state"},
+    )
+    ns = normalize_records(via_spans(ssa), "ssa", "yyyyMMdd")
+    records = nc.unionByName(nw).unionByName(ns)
+    truth = (
+        census.select("record_id", "simulant_id")
+        .unionByName(w2.select("record_id", "simulant_id"))
+        .unionByName(ssa.select("record_id", "simulant_id"))
+    )
+    res = resolve(spark, records, ResolveConfig())
+    return res["assignments"].join(truth, "record_id").orderBy("record_id")
 
 
-def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+# ===========================================================================
+# queries + oracles
+# ===========================================================================
+
+_Q: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {}
+_O: "dict[str, str]" = {}
+
+
+def _q(name: str, oracle: "str | None" = None):
+    def deco(fn):
+        _Q[name] = fn
+        if oracle is not None:
+            _O[name] = oracle
+        return fn
+    return deco
+
+
+# --------------------------------------------------------------------------
+# relational scaffolding (SURVEY.md §2.A)
+# --------------------------------------------------------------------------
+
+@_q(
+    "scan_filter_project",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+       FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_discount > 0.02""",
+)
+def scan_filter_project(spark, sf_dir):
+    """Parquet scan + predicate pushdown + column pruning (reference
+    loader.py:13-51, interface.py:296-300)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .where((F.col("l_shipdate") < "1996-01-01") & (F.col("l_discount") > 0.02))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+@_q(
+    "agg_groupby",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              round(sum(l_quantity), 4) AS sum_qty,
+              round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+              round(avg(l_discount), 6) AS avg_disc,
+              CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+       FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+)
+def agg_groupby(spark, sf_dir):
+    """TPC-H-Q1-shaped aggregation (partial/map-side agg + one shuffle)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@_q(
+    "join_broadcast_agg",
+    """SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_orders,
+              round(sum(o.o_totalprice), 4) AS total
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       GROUP BY n.n_name""",
+)
+def join_broadcast_agg(spark, sf_dir):
+    """Two equi-joins (broadcast for the dims — reference's guardian
+    join analogue, noise_functions.py:182-210) + aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 4).alias("total"))
+    )
+
+
+@_q(
+    "semi_join",
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)""",
+)
+def semi_join(spark, sf_dir):
+    """Left-semi join (reference guardian existence check,
+    noise_functions.py:186-210)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@_q(
+    "anti_join",
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 400000)""",
+)
+def anti_join(spark, sf_dir):
+    """Left-anti join — the index-difference / omission semantics
+    (reference noise_functions.py:57,140)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@_q(
+    "window_topk",
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM orders) WHERE rn <= 3""",
+)
+def window_topk(spark, sf_dir):
+    """Top-k per group via window (SURVEY.md §2.E: windows are ours,
+    absent in the reference)."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@_q(
+    "union_distinct",
+    """SELECT DISTINCT k, src FROM (
+         SELECT o_custkey AS k, 'o' AS src FROM orders WHERE o_totalprice > 200000
+         UNION ALL SELECT c_custkey AS k, 'o' AS src FROM customer WHERE c_acctbal > 5000)""",
+)
+def union_distinct(spark, sf_dir):
+    """Union + dedup (reference shard concat, interface.py:111)."""
+    a = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 200000).select(
+        F.col("o_custkey").alias("k"), F.lit("o").alias("src")
+    )
+    b = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("k"), F.lit("o").alias("src")
+    )
+    return a.unionByName(b).distinct()
+
+
+@_q(
+    "rollup_agg",
+    """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),4) AS qty
+       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+def rollup_agg(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("qty"))
+    )
+
+
+@_q(
+    "scalar_subquery_filter",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)""",
+)
+def scalar_subquery_filter(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    avg_price = o.agg(F.avg("o_totalprice")).collect()[0][0]
+    return o.where(F.col("o_totalprice") > avg_price * 1.5).select("o_orderkey", "o_totalprice")
+
+
+@_q(
+    "date_reformat",
+    """SELECT o_orderkey,
+              strftime(o_orderdate, '%m/%d/%Y') AS d_mdy,
+              strftime(o_orderdate, '%Y%m%d') AS d_ymd,
+              strftime(o_orderdate, '%m%d%Y') AS d_mdy_compact,
+              lpad(CAST(o_orderkey % 997 AS VARCHAR), 5, '0') AS zfilled
+       FROM orders""",
+)
+def date_reformat(spark, sf_dir):
+    """Date->string reformat in the reference's three formats
+    (interface.py:255-285) + vectorized zfill (:288-293), as built-ins."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "MM/dd/yyyy").alias("d_mdy"),
+        F.date_format("o_orderdate", "yyyyMMdd").alias("d_ymd"),
+        F.date_format("o_orderdate", "MMddyyyy").alias("d_mdy_compact"),
+        F.lpad(F.pmod("o_orderkey", F.lit(997)).cast("string"), 5, "0").alias("zfilled"),
+    )
+
+
+@_q(
+    "empty_string_to_null",
+    """SELECT o_orderkey,
+              CASE WHEN o_orderpriority = '' THEN NULL ELSE o_orderpriority END AS prio,
+              CAST(floor(o_totalprice) AS BIGINT) AS price_int
+       FROM orders""",
+)
+def empty_string_to_null(spark, sf_dir):
+    """''->NULL normalize + dtype coercion without trailing .0
+    (reference _clean_input_data interface.py:223-238,
+    to_string_as_integer utilities.py:198-202)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderpriority") == "", None).otherwise(F.col("o_orderpriority")).alias("prio"),
+        F.floor("o_totalprice").cast("bigint").alias("price_int"),
+    )
+
+
+# --------------------------------------------------------------------------
+# noise operators (SURVEY.md §2.B/2.C) over the portable CRN
+# --------------------------------------------------------------------------
+
+def _u(key: str, decision: str) -> str:
+    return portable_u01_sql(key, SEED, decision)
+
+
+@_q(
+    "noise_leave_blank",
+    f"""SELECT c_custkey,
+               CASE WHEN c_mktsegment IS NOT NULL AND c_mktsegment != ''
+                         AND {_u('c_custkey', 'leave_blank_c_mktsegment')} < 0.1
+                    THEN NULL ELSE c_mktsegment END AS c_mktsegment
+        FROM customer""",
+)
+def noise_leave_blank(spark, sf_dir):
+    """leave_blank (reference noise_functions.py:657-672) replayed by
+    the DuckDB oracle through the portable CRN."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return cn.leave_blank(c, "c_mktsegment", "c_custkey", p=0.1, seed=SEED, u01=portable_u01)
+
+
+def _choose_wrong_oracle() -> str:
+    opts = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    n = len(opts)
+    p_scaled = 0.3 / (1.0 - 1.0 / n)
+    sel = _u("o_orderkey", "choose_wrong_option_o_orderpriority")
+    pick = _u("o_orderkey", "choose_wrong_option_pick_o_orderpriority")
+    arr = "[" + ", ".join(f"'{o}'" for o in opts) + "]"
+    return f"""SELECT o_orderkey,
+              CASE WHEN o_orderpriority IS NOT NULL AND o_orderpriority != ''
+                        AND {sel} < {p_scaled!r}
+                   THEN list_extract({arr}, CAST(floor({pick} * {n}) AS INT) + 1)
+                   ELSE o_orderpriority END AS o_orderpriority
+       FROM orders"""
+
+
+@_q("noise_choose_wrong_option", _choose_wrong_oracle())
+def noise_choose_wrong_option(spark, sf_dir):
+    """choose_wrong_option (reference noise_functions.py:306-341) with
+    the 1/(1-1/n) self-collision scaling (noise_scaling.py:10-23)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return cn.choose_wrong_option(
+        o, "o_orderpriority", "o_orderkey",
+        options=["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        p=0.3, seed=SEED, u01=portable_u01,
+    )
+
+
+@_q(
+    "noise_swap_month_day",
+    f"""SELECT o_orderkey,
+               CASE WHEN d IS NOT NULL AND d != '' AND {_u('o_orderkey', 'swap_month_and_day_d')} < 0.5
+                    THEN substr(d,4,3) || substr(d,1,2) || substr(d,6,5)
+                    ELSE d END AS d
+        FROM (SELECT o_orderkey, strftime(o_orderdate, '%m/%d/%Y') AS d FROM orders)""",
+)
+def noise_swap_month_day(spark, sf_dir):
+    """swap_month_and_day string-slice swap (reference
+    noise_functions.py:365-404) on MM/dd/yyyy."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.date_format("o_orderdate", "MM/dd/yyyy").alias("d")
+    )
+    return cn.swap_month_and_day(o, "d", "o_orderkey", date_format="MM/dd/yyyy", p=0.5, seed=SEED, u01=portable_u01)
+
+
+def _misreport_oracle() -> str:
+    sel = _u("p_partkey", "misreport_age_p_size")
+    pick = _u("p_partkey", "misreport_age_pick_p_size")
+    delta = f"(CASE WHEN {pick} < 0.1 THEN -2 WHEN {pick} < 0.5 THEN -1 WHEN {pick} < 0.9 THEN 1 ELSE 2 END)"
+    moved = f"abs(CAST(p_size AS BIGINT) + {delta})"
+    fixed = f"(CASE WHEN {moved} = CAST(p_size AS BIGINT) THEN CAST(p_size AS BIGINT) - 1 ELSE {moved} END)"
+    return f"""SELECT p_partkey,
+              CAST(CASE WHEN p_size IS NOT NULL AND {sel} < 0.4 THEN {fixed} ELSE p_size END AS INT) AS p_size
+       FROM part"""
+
+
+@_q("noise_misreport_age", _misreport_oracle())
+def noise_misreport_age(spark, sf_dir):
+    """misreport_age weighted-delta + reflect + collision fix (reference
+    noise_functions.py:462-494) applied to p_size."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_size")
+    return cn.misreport_age(p, "p_size", "p_partkey", p=0.4, seed=SEED, u01=portable_u01)
+
+
+def _zip_oracle() -> str:
+    sel_cell = _u("c_custkey", "write_wrong_zipcode_zip")
+    parts = []
+    for i, dp in enumerate([0.04, 0.04, 0.2, 0.36, 0.36]):
+        dps = min(1.0, dp / 0.9)
+        s = _u("c_custkey", f"zip_sel_zip_{i}")
+        d = _u("c_custkey", f"zip_dig_zip_{i}")
+        parts.append(
+            f"(CASE WHEN {s} < {dps!r} THEN CAST(CAST(floor({d} * 10) AS BIGINT) AS VARCHAR) ELSE substr(zip,{i + 1},1) END)"
+        )
+    noised = " || ".join(parts)
+    return f"""SELECT c_custkey,
+              CASE WHEN zip IS NOT NULL AND zip != '' AND {sel_cell} < 0.5 THEN {noised} ELSE zip END AS zip
+       FROM (SELECT c_custkey, lpad(CAST((c_custkey * 7919) % 100000 AS VARCHAR), 5, '0') AS zip FROM customer)"""
+
+
+@_q("noise_wrong_zipcode", _zip_oracle())
+def noise_wrong_zipcode(spark, sf_dir):
+    """write_wrong_zipcode_digits with per-position probabilities
+    (reference noise_functions.py:407-459, noise_entities.py:63-65)."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.lpad(F.pmod(F.col("c_custkey") * 7919, F.lit(100000)).cast("string"), 5, "0").alias("zip"),
+    )
+    return cn.write_wrong_zipcode_digits(c, "zip", "c_custkey", p=0.5, seed=SEED, u01=portable_u01)
+
+
+@_q(
+    "noise_omit_row",
+    f"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE {_u('o_orderkey', 'omit_row')} >= 0.0145""",
+)
+def noise_omit_row(spark, sf_dir):
+    """omit_row key-deterministic hash filter (reference
+    noise_functions.py:33-59) — NOT df.sample()."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    return rn.omit_rows(o, "o_orderkey", p=0.0145, seed=SEED, u01=portable_u01)
+
+
+@_q(
+    "noise_duplicate_row",
+    f"""SELECT o_orderkey, o_totalprice FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_totalprice FROM orders WHERE {_u('o_orderkey', 'duplicate_row')} < 0.05""",
+)
+def noise_duplicate_row(spark, sf_dir):
+    """duplicate_row (the reference's stub, noise_functions.py:145-158,
+    implemented for parity)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return rn.duplicate_rows(o, "o_orderkey", p=0.05, seed=SEED, u01=portable_u01)
+
+
+# --------------------------------------------------------------------------
+# record-linkage operators
+# --------------------------------------------------------------------------
+
+@_q(
+    "blocking_pairs",
+    """SELECT l.p_partkey AS id_l, r.p_partkey AS id_r, l.p_brand AS block_key,
+              CAST(levenshtein(l.p_name, r.p_name) AS BIGINT) AS name_dist
+       FROM part l JOIN part r ON l.p_brand = r.p_brand AND l.p_size = r.p_size
+       WHERE l.p_partkey < r.p_partkey""",
+)
+def blocking_pairs(spark, sf_dir):
+    """Within-block candidate-pair self-join with id_l < id_r (the core
+    ER pair-gen shape) + built-in levenshtein scoring."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size", "p_name")
+    l = p.alias("l")
+    r = p.alias("r")
+    return (
+        l.join(r, (F.col("l.p_brand") == F.col("r.p_brand")) & (F.col("l.p_size") == F.col("r.p_size")))
+        .where(F.col("l.p_partkey") < F.col("r.p_partkey"))
+        .select(
+            F.col("l.p_partkey").alias("id_l"),
+            F.col("r.p_partkey").alias("id_r"),
+            F.col("l.p_brand").alias("block_key"),
+            F.levenshtein(F.col("l.p_name"), F.col("r.p_name")).cast("bigint").alias("name_dist"),
+        )
+    )
+
+
+@_q(
+    "jaro_winkler_scoring",
+    """SELECT l.c_custkey AS id_l, r.c_custkey AS id_r,
+              round(jaro_winkler_similarity(upper(l.c_name), upper(r.c_name)), 6) AS jw
+       FROM customer l JOIN customer r ON l.c_nationkey = r.c_nationkey
+       WHERE l.c_custkey < r.c_custkey""",
+)
+def jaro_winkler_scoring(spark, sf_dir):
+    """Batched Jaro-Winkler over within-block pairs — the Arrow pandas
+    UDF verified value-exact against DuckDB's implementation."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_name")
+    l = c.alias("l")
+    r = c.alias("r")
+    return (
+        l.join(r, F.col("l.c_nationkey") == F.col("r.c_nationkey"))
+        .where(F.col("l.c_custkey") < F.col("r.c_custkey"))
+        .select(
+            F.col("l.c_custkey").alias("id_l"),
+            F.col("r.c_custkey").alias("id_r"),
+            F.round(jaro_winkler_udf(F.upper(F.col("l.c_name")), F.upper(F.col("r.c_name"))), 6).alias("jw"),
+        )
+    )
+
+
+@_q(
+    "sorted_neighborhood",
+    """WITH base AS (SELECT s_suppkey, s_name FROM supplier)
+       SELECT least(a, b) AS id_l, greatest(a, b) AS id_r FROM (
+         SELECT s_suppkey AS a, lead(s_suppkey, 1) OVER (ORDER BY s_name, s_suppkey) AS b FROM base
+         UNION ALL
+         SELECT s_suppkey AS a, lead(s_suppkey, 2) OVER (ORDER BY s_name, s_suppkey) AS b FROM base
+       ) WHERE b IS NOT NULL""",
+)
+def sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood pairing via window lead(k) (SURVEY.md §2.E)."""
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    w = Window.orderBy("s_name", "s_suppkey")
+    out = None
+    for k in (1, 2):
+        p = s.select(F.col("s_suppkey").alias("a"), F.lead("s_suppkey", k).over(w).alias("b")).where(
+            F.col("b").isNotNull()
+        )
+        out = p if out is None else out.unionByName(p)
+    return out.select(F.least("a", "b").alias("id_l"), F.greatest("a", "b").alias("id_r"))
+
+
+@_q(
+    "connected_components",
+    """SELECT doc_id AS u, (doc_id // 5) * 5 AS component
+       FROM documents WHERE doc_id % 5 != 0 OR doc_id + 1 IN (SELECT doc_id FROM documents)""",
+)
+def connected_components_query(spark, sf_dir):
+    """Large-star/small-star CC on a chain graph with a closed-form
+    ground truth: edges (i, i+1) within groups of 5 -> every node's
+    component is the group minimum (doc_id//5*5). The iterative
+    DataFrame algorithm must reproduce it exactly."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = (
+        d.where(F.pmod("doc_id", F.lit(5)) != 4)
+        .select(F.col("doc_id").alias("u"), (F.col("doc_id") + 1).alias("v"))
+        .join(d.select(F.col("doc_id").alias("v")), "v", "left_semi")
+    )
+    return connected_components(edges).select("u", "component")
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline: dedup / text analysis / ANN (documents, embeddings)
+# --------------------------------------------------------------------------
+
+@_q(
+    "dedup_exact",
+    """SELECT h AS text_hash, CAST(count(*) AS BIGINT) AS n, CAST(min(doc_id) AS BIGINT) AS keep_id
+       FROM (SELECT doc_id, md5(substr(text, 1, 20)) AS h FROM documents) GROUP BY h HAVING count(*) > 1""",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on md5(text), keep min id (map-side
+    partial agg + one shuffle — the canonical 100TB dedup shape)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(F.substring("text", 1, 20)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n"), F.min("doc_id").cast("bigint").alias("keep_id"))
+        .where(F.col("n") > 1)
+    )
+
+
+@_q(
+    "dedup_char_jaccard",
+    """SELECT l.doc_id AS id_l, r.doc_id AS id_r,
+              round(jaccard(l.text, r.text), 6) AS sim
+       FROM documents l JOIN documents r
+         ON l.lang = r.lang AND (l.n_chars // 200) = (r.n_chars // 200)
+       WHERE l.doc_id < r.doc_id AND jaccard(l.text, r.text) >= 0.98""",
+)
+def dedup_char_jaccard(spark, sf_dir):
+    """Near-dup detection: character-set Jaccard (DuckDB ``jaccard``
+    semantics) over (lang, length-bucket) blocks — pure Spark array ops,
+    no UDF."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text",
+        F.floor(F.col("n_chars") / 200).alias("bucket"),
+        F.array_distinct(F.split("text", "")).alias("chars"),
+    )
+    l = d.alias("l")
+    r = d.alias("r")
+    inter = F.size(F.array_intersect(F.col("l.chars"), F.col("r.chars")))
+    union = F.size(F.array_union(F.col("l.chars"), F.col("r.chars")))
+    sim = inter.cast("double") / union
+    return (
+        l.join(r, (F.col("l.lang") == F.col("r.lang")) & (F.col("l.bucket") == F.col("r.bucket")))
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .where(sim >= 0.98)
+        .select(F.col("l.doc_id").alias("id_l"), F.col("r.doc_id").alias("id_r"), F.round(sim, 6).alias("sim"))
+    )
+
+
+@_q(
+    "text_quality",
+    """SELECT doc_id,
+              CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+              round(CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / len(text), 6) AS alpha_ratio,
+              round(CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / len(text), 6) AS punct_ratio
+       FROM documents WHERE len(text) > 0""",
+)
+def text_quality(spark, sf_dir):
+    """Quality scoring: token count, alphabetic ratio, punctuation ratio
+    — all built-in string expressions."""
+    d = _t(spark, sf_dir, "documents").where(F.length("text") > 0)
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), "\\s+")).cast("bigint").alias("n_tokens"),
+        F.round(
+            F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("double") / F.length("text"), 6
+        ).alias("alpha_ratio"),
+        F.round(
+            F.length(F.regexp_replace("text", "[^.,;:!?]", "")).cast("double") / F.length("text"), 6
+        ).alias("punct_ratio"),
+    )
+
+
+_EN_STOPS = ["the", "and", "of", "to", "in", "is", "that", "with"]
+_ES_STOPS = ["el", "la", "de", "que", "los", "las", "una", "por"]
+_DE_STOPS = ["der", "die", "das", "und", "nicht", "ein", "mit", "ist"]
+
+
+def _stop_hits_sql(words) -> str:
+    return "(" + " + ".join(
+        f"(CASE WHEN ' ' || lower(text) || ' ' LIKE '% {w} %' THEN 1 ELSE 0 END)" for w in words
+    ) + ")"
+
+
+@_q(
+    "lang_id_heuristic",
+    f"""SELECT doc_id,
+               CAST({_stop_hits_sql(_EN_STOPS)} AS BIGINT) AS en_hits,
+               CAST({_stop_hits_sql(_ES_STOPS)} AS BIGINT) AS es_hits,
+               CAST({_stop_hits_sql(_DE_STOPS)} AS BIGINT) AS de_hits,
+               CASE WHEN {_stop_hits_sql(_EN_STOPS)} >= {_stop_hits_sql(_ES_STOPS)}
+                         AND {_stop_hits_sql(_EN_STOPS)} >= {_stop_hits_sql(_DE_STOPS)} THEN 'en'
+                    WHEN {_stop_hits_sql(_ES_STOPS)} >= {_stop_hits_sql(_DE_STOPS)} THEN 'es'
+                    ELSE 'de' END AS lang_guess
+        FROM documents""",
+)
+def lang_id_heuristic(spark, sf_dir):
+    """Language-ID heuristic: stopword-hit counts per language,
+    argmax with deterministic tie-break — built-in expressions only."""
+    d = _t(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+
+    def hits(words):
+        return sum(
+            (padded.contains(f" {w} ")).cast("int") for w in words
+        ).cast("bigint")
+
+    en, es, de = hits(_EN_STOPS), hits(_ES_STOPS), hits(_DE_STOPS)
+    return d.select(
+        "doc_id",
+        en.alias("en_hits"),
+        es.alias("es_hits"),
+        de.alias("de_hits"),
+        F.when((en >= es) & (en >= de), "en").when(es >= de, "es").otherwise("de").alias("lang_guess"),
+    )
+
+
+@_q(
+    "token_count_by_source",
+    """SELECT source, CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+              CAST(count(*) AS BIGINT) AS n_docs
+       FROM documents WHERE len(text) > 0 GROUP BY source""",
+)
+def token_count_by_source(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").where(F.length("text") > 0)
+    return d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.trim(F.col("text")), "\\s+"))).cast("bigint").alias("total_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@_q(
+    "doc_fingerprint",
+    """SELECT doc_id,
+              list_reduce(
+                list_prepend(CAST(0 AS BIGINT), list_transform(string_split(substr(text, 1, 64), ''), c -> CAST(ascii(c) AS BIGINT))),
+                (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+       FROM documents WHERE len(text) > 0""",
+)
+def doc_fingerprint(spark, sf_dir):
+    """Document fingerprint: polynomial rolling hash over the first 64
+    chars — ``aggregate`` higher-order function, JVM-side."""
+    d = _t(spark, sf_dir, "documents").where(F.length("text") > 0)
+    fp = F.aggregate(
+        F.split(F.substring("text", 1, 64), ""),
+        F.lit(0).cast("bigint"),
+        lambda acc, c: F.pmod(acc * 31 + F.ascii(c), F.lit(1000000007)),
+    )
+    return d.select("doc_id", fp.alias("fp"))
+
+
+@_q(
+    "ann_cosine_topk",
+    """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings),
+         s AS (SELECT qid, cid, round(list_cosine_similarity(qe, ce), 4) AS sim
+               FROM q CROSS JOIN c WHERE qid != cid)
+       SELECT qid, cid, sim FROM (
+         SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn FROM s)
+       WHERE rn <= 10""",
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k — the exact baseline for similarity
+    search. Dot product via zip_with/aggregate (JVM), ranking via
+    window. The LSH-bucketed scale path is `minhash_blocks`."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    q = e.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"))
+    c = e.select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+    def norm(a):
+        return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+    sim = F.round(dot(F.col("qe"), F.col("ce")) / (norm(F.col("qe")) * norm(F.col("ce"))), 4)
+    s = q.crossJoin(c).where(F.col("qid") != F.col("cid")).select("qid", "cid", sim.alias("sim"))
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.col("cid"))
+    return s.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 10).select("qid", "cid", "sim")
+
+
+@_q(
+    "embedding_stats",
+    """SELECT label, CAST(count(*) AS BIGINT) AS n,
+              round(avg(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))), 4) AS avg_norm
+       FROM embeddings GROUP BY label""",
+)
+def embedding_stats(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double")), F.lit(0.0), lambda acc, v: acc + v * v
+        )
+    )
+    return e.groupBy("label").agg(F.count("*").alias("n"), F.round(F.avg(norm), 4).alias("avg_norm"))
+
+
+# --------------------------------------------------------------------------
+# streaming (Structured Streaming; oracle = batch-equivalent SQL)
+# --------------------------------------------------------------------------
+
+@_q(
+    "streaming_window_agg",
+    """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket, event_type,
+              CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS total
+       FROM events GROUP BY 1, 2""",
+)
+def streaming_window_agg(spark, sf_dir):
+    """Tumbling-window streaming aggregation: readStream over the events
+    parquet, 5-minute windows, memory sink driven to completion — the
+    batch SQL over the same data is the oracle (SURVEY.md §2.E:
+    streaming is ours; the reference is batch-only)."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/")
+    agg = (
+        stream.where(F.col("event_id").isNotNull())
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+    )
+    qname = "stream_window_agg_out"
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(qname).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname).select(
+        F.unix_timestamp(F.col("w.start")).cast("bigint").alias("bucket"),
+        "event_type",
+        "n",
+        "total",
+    )
+
+
+# Spark-only operators: no portable SQL equivalent -> rows-only check
+@_q("soundex_blocks")
+def soundex_blocks(spark, sf_dir):
+    """Phonetic block-key histogram (Spark built-in soundex; DuckDB has
+    no soundex -> rows-only)."""
+    p = _t(spark, sf_dir, "part")
+    key = F.soundex(F.upper(F.element_at(F.split("p_name", " "), 1)))
+    return (
+        p.select(key.alias("block_key"))
+        .groupBy("block_key")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_q("minhash_bands")
+def minhash_bands(spark, sf_dir):
+    """MinHash-LSH banding over document-text shingles (xxhash64-based,
+    not expressible in DuckDB -> rows-only): emits (band_key, doc_id)."""
+    from pseudopeople_spark.linkage.blocking import minhash_blocks
+
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("string").alias("record_id"), "text")
+    return minhash_blocks(d, F.substring("text", 1, 80), bands=4, rows_per_band=2).select(
+        "block_key", "record_id"
+    )
+
+
+def queries() -> "dict[str, Callable[[SparkSession, str], DataFrame]]":
+    return dict(_Q)
+
+
+def oracle_sql() -> "dict[str, str]":
+    return dict(_O)
