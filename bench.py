@@ -1,0 +1,152 @@
+"""Benchmark harness. Runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+  {"metric": "suite_seconds", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1,
+   "noising_rows_per_sec": ..., "pairs_scored_per_sec": ...,
+   "er_f1": ...}
+
+The two throughput extras map onto the baselines in BASELINE.md:
+  * noising_rows_per_sec — vs the reference's derived ~138k rows/s
+    (330M simulants / 40 min on a 200 GB dask cluster);
+  * pairs_scored_per_sec — the north-rule scaling metric (see
+    tools/bench_scaling.py for the N-vs-4N evidence).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as E  # noqa: E402
+from pseudopeople_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+BENCH_QUERIES = [
+    "scan_filter_project",
+    "agg_groupby",
+    "join_broadcast_agg",
+    "window_topk",
+    "blocking_pairs",
+    "sorted_neighborhood",
+    "jaro_winkler_scoring",
+    "connected_components",
+    "dedup_exact",
+    "dedup_char_jaccard",
+    "text_quality",
+    "lang_id_heuristic",
+    "token_count_by_source",
+    "doc_fingerprint",
+    "ann_cosine_topk",
+    "embedding_stats",
+    "minhash_bands",
+    "soundex_blocks",
+    "noise_leave_blank",
+    "noise_choose_wrong_option",
+    "noise_swap_month_day",
+    "noise_wrong_zipcode",
+    "noise_omit_row",
+    "streaming_window_agg",
+]
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def bench_noising(spark, n_rows: int = 200_000) -> "tuple[float, int]":
+    """Throughput of the full census noise plan (all 15 operators) over
+    a synthesized population — comparable to the reference's derived
+    rows/sec noising numbers."""
+    from pseudopeople_spark import config, datasets as D, noise, synth
+
+    pop = synth.simulants(spark, n_rows, seed=1)
+    census = synth.census_records(pop, 2020)
+    cfg = config.get_config()
+    noised = noise.noise_dataset(census, D.DECENNIAL_CENSUS, cfg, seed=2)
+    t0 = time.time()
+    n = noised.count()
+    return time.time() - t0, n
+
+
+def bench_er(spark, n_simulants: int) -> "dict":
+    """Full resolve() over noised census+w2+ssa; returns wall time,
+    candidate-pair count and F1."""
+    from pseudopeople_spark import config, datasets as D, noise, synth
+    from pseudopeople_spark.linkage.pipeline import ResolveConfig, normalize_records, resolve
+
+    pop = synth.simulants(spark, n_simulants, seed=42)
+    cfg = config.get_config()
+    census = noise.noise_dataset(synth.census_records(pop, 2020), D.DECENNIAL_CENSUS, cfg, seed=7)
+    w2 = noise.noise_dataset(synth.w2_records(pop, 2020), D.TAXES_W2_AND_1099, cfg, seed=8)
+    ssa = noise.noise_dataset(synth.ssa_records(pop), D.SOCIAL_SECURITY, cfg, seed=9)
+    nc = normalize_records(census, "census", "MM/dd/yyyy")
+    nw = normalize_records(
+        w2, "w2", "MM/dd/yyyy",
+        column_map={"zipcode": "mailing_address_zipcode", "city": "mailing_address_city",
+                    "state": "mailing_address_state"},
+    )
+    ns = normalize_records(ssa, "ssa", "yyyyMMdd")
+    records = nc.unionByName(nw).unionByName(ns).localCheckpoint()
+    truth = (
+        census.select("record_id", "simulant_id")
+        .unionByName(w2.select("record_id", "simulant_id"))
+        .unionByName(ssa.select("record_id", "simulant_id"))
+        .localCheckpoint()
+    )
+    t0 = time.time()
+    res = resolve(spark, records, ResolveConfig(), truth=truth)
+    wall = time.time() - t0
+    m = res["metrics"]
+    return {"wall": wall, "pairs": m["n_candidate_pairs"], "f1": m["f1"]}
+
+
+def main() -> None:
+    spark = get_spark("bench", master=f"local[{CPUS}]")
+    qs = E.queries()
+    times: "dict[str, float]" = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.count()  # force full execution without driver transfer
+        times[name] = round(time.time() - t0, 3)
+
+    noise_wall, noise_rows = bench_noising(spark)
+    times["noising_census_200k"] = round(noise_wall, 3)
+
+    er = bench_er(spark, n_simulants=20_000)
+    times["er_resolve_20k"] = round(er["wall"], 3)
+
+    total = round(sum(times.values()), 3)
+    out = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": _sf_from_dir(SF_DIR),
+        "noising_rows_per_sec": round(noise_rows / noise_wall, 1),
+        "pairs_scored_per_sec": round(er["pairs"] / er["wall"], 1),
+        "er_candidate_pairs": er["pairs"],
+        "er_f1": round(er["f1"], 5),
+        "cpus": int(CPUS),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
