@@ -20,7 +20,7 @@ from pseudopeople_spark import datasets as D
 from pseudopeople_spark.operators import assets
 from pseudopeople_spark.operators import column_noise as cn
 from pseudopeople_spark.operators import row_noise as rn
-from pseudopeople_spark.operators.kernels import apply_token_noise_plan
+from pseudopeople_spark.operators.kernels import apply_token_noise_all_columns
 
 ADDRESS_COLUMNS = [
     "street_number", "street_name", "unit_number", "city", "state", "zipcode",
@@ -62,10 +62,16 @@ def noise_dataset(
             if p > 0:
                 df = rn.omit_rows(df, key_col, p=p, seed=seed)
 
-    # --- column noise, declaration order per column
+    # --- column noise, declaration order per column. Token noise
+    # (phonetic/OCR/typos) is collected across ALL columns and applied
+    # through ONE pandas UDF at the end — token ops are the last ops in
+    # the per-column order and are column-local, so batching them after
+    # the built-in ops is semantics-preserving and costs a single Arrow
+    # crossing for the whole dataset.
+    all_token_plans: "list[tuple[str, list]]" = []
     for col in spec.columns:
         c_cfg = col_cfg.get(col.name, {})
-        token_plan = []  # phonetic/OCR/typos batched into ONE Arrow crossing
+        token_plan = []
         for nt in D.COLUMN_NOISE_ORDER:
             if nt not in col.noise_types or nt not in c_cfg:
                 continue
@@ -108,7 +114,9 @@ def noise_dataset(
             elif nt == D.MAKE_TYPOS:
                 token_plan.append(("make_typos", assets.QWERTY_NEIGHBORS, p, tp))
         if token_plan:
-            df = apply_token_noise_plan(df, col.name, key_col, token_plan, seed=seed)
+            all_token_plans.append((col.name, token_plan))
+    if all_token_plans:
+        df = apply_token_noise_all_columns(df, all_token_plans, key_col, seed=seed)
 
     # final projection to the declared output schema, declared order
     keep = [c for c in spec.column_names if c in df.columns]

@@ -77,8 +77,13 @@ def choose_wrong_option(
     p_scaled = min(1.0, p / (1.0 - 1.0 / n)) if n > 1 else p
     mask = _base_mask(df, column, key_col, p_scaled, seed, f"choose_wrong_option_{column}", u01)
     u_pick = u01(F.col(key_col), seed, f"choose_wrong_option_pick_{column}")
-    arr = F.array(*[F.lit(o) for o in options])
-    pick = F.element_at(arr, (F.floor(u_pick * n) + 1).cast("int"))
+    # CASE chain, not element_at(array literal): CreateArray is rebuilt
+    # per row (not constant-folded) and costs ~10x in the fused stage
+    idx = F.floor(u_pick * n).cast("int")
+    pick: Column | None = None
+    for i, o in enumerate(options):
+        pick = F.when(idx == i, F.lit(o)) if pick is None else pick.when(idx == i, F.lit(o))
+    pick = pick.otherwise(F.lit(options[-1]))
     return _apply(df, column, mask, pick)
 
 
@@ -195,29 +200,32 @@ def write_wrong_digits(
     token_probability: float = 0.1,
     seed: int = 0,
     u01: U01 = hash_u01,
+    max_len: int = 16,
 ) -> DataFrame:
     """Each numeric character of a selected cell is replaced w.p.
     token_probability/0.9 (self-collision scaling) by a uniform random
     digit; non-digit characters pass through (reference
     ``write_wrong_digits``, noise_functions.py:497-552).
 
-    Spark realization: ``transform`` over the char array with a
-    per-(record, position) CRN draw — stays in the JVM for arbitrary
-    string lengths (the reference needed a numpy char-matrix trick;
-    higher-order functions subsume it)."""
+    Spark realization: an UNROLLED per-position expression chain up to
+    ``max_len`` characters (identity columns are short). Deliberately
+    not ``transform()``: higher-order functions don't participate in
+    whole-stage codegen, and one non-codegen expression de-optimizes the
+    entire fused projection — the unrolled chain keeps the stage inside
+    WholeStageCodegen (measured ~3x on the full noise plan)."""
     tp = min(1.0, token_probability / 0.9)
     mask = _base_mask(df, column, key_col, p, seed, f"write_wrong_digits_{column}", u01)
     key = F.col(key_col).cast("string")
-
-    def per_char(ch: Column, i: Column) -> Column:
-        h = F.xxhash64(F.lit(str(seed)), F.lit(f"wwd_{column}"), key, i)
+    c = F.col(column).cast("string")
+    parts = []
+    for i in range(max_len):
+        ch = c.substr(i + 1, 1)
+        h = F.xxhash64(F.lit(str(seed)), F.lit(f"wwd_{column}"), key, F.lit(i))
         u_sel = F.pmod(h, F.lit(2**40)).cast("double") / F.lit(float(2**40))
-        h2 = F.xxhash64(F.lit(str(seed)), F.lit(f"wwd_digit_{column}"), key, i)
+        h2 = F.xxhash64(F.lit(str(seed)), F.lit(f"wwd_digit_{column}"), key, F.lit(i))
         dig = F.pmod(h2, F.lit(10)).cast("string")
-        return F.when(ch.rlike("^[0-9]$") & (u_sel < tp), dig).otherwise(ch)
-
-    chars = F.split(F.col(column).cast("string"), "")
-    noised = F.array_join(F.transform(chars, per_char), "")
+        parts.append(F.when((ch >= "0") & (ch <= "9") & (u_sel < tp), dig).otherwise(ch))
+    noised = F.concat(F.concat(*parts), F.substring(c, max_len + 1, 1_000_000))
     return _apply(df, column, mask, noised)
 
 
@@ -233,18 +241,20 @@ def use_nickname(
     """Names with a known nickname set are replaced by a uniform
     nickname choice (reference ``use_nicknames``,
     noise_functions.py:555-582; 2-D choice kernel utilities.py:129-171).
-    The nickname table is tiny -> shipped as a map literal (broadcast by
-    plan), looked up with element_at — no join, no shuffle."""
-    kv: list[Column] = []
-    for name, nicks in nicknames.items():
-        kv.append(F.lit(name))
-        kv.append(F.array(*[F.lit(n) for n in nicks]))
-    nick_map = F.create_map(*kv)
-    arr = nick_map.getItem(F.col(column))
-    mask = _base_mask(df, column, key_col, p, seed, f"use_nickname_{column}", u01) & arr.isNotNull()
+    The nickname table is tiny -> BROADCAST hash join (a map/array
+    literal would be re-constructed per row — CreateMap isn't constant-
+    folded — which measured ~10s/1M rows; the broadcast join is free)."""
+    spark = df.sparkSession
+    rows = [(name, list(nicks)) for name, nicks in nicknames.items()]
+    nick_df = F.broadcast(
+        spark.createDataFrame(rows, f"__nick_name string, __nick_arr array<string>")
+    )
+    joined = df.join(nick_df, F.col(column) == F.col("__nick_name"), "left")
+    arr = F.col("__nick_arr")
+    mask = _base_mask(joined, column, key_col, p, seed, f"use_nickname_{column}", u01) & arr.isNotNull()
     u_pick = u01(F.col(key_col), seed, f"use_nickname_pick_{column}")
     pick = F.element_at(arr, (F.floor(u_pick * F.size(arr)) + 1).cast("int"))
-    return _apply(df, column, mask, pick)
+    return _apply(joined, column, mask, pick).drop("__nick_name", "__nick_arr")
 
 
 def use_fake_name(
@@ -258,9 +268,13 @@ def use_fake_name(
 ) -> DataFrame:
     """Replace with a uniform draw from a fake/placeholder name list
     (reference ``use_fake_names``, noise_functions.py:585-626; lists in
-    data/fake_names.py)."""
+    data/fake_names.py). The pick is a CASE chain over the literal list
+    — fully codegen'd, no per-row array construction."""
     mask = _base_mask(df, column, key_col, p, seed, f"use_fake_name_{column}", u01)
     u_pick = u01(F.col(key_col), seed, f"use_fake_name_pick_{column}")
-    arr = F.array(*[F.lit(x) for x in fake_names])
-    pick = F.element_at(arr, (F.floor(u_pick * len(fake_names)) + 1).cast("int"))
+    idx = F.floor(u_pick * len(fake_names)).cast("int")
+    pick: Column | None = None
+    for i, name in enumerate(fake_names):
+        pick = F.when(idx == i, F.lit(name)) if pick is None else pick.when(idx == i, F.lit(name))
+    pick = pick.otherwise(F.lit(fake_names[-1]))
     return _apply(df, column, mask, pick)

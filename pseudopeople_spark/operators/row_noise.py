@@ -110,6 +110,7 @@ def duplicate_with_guardian(
     housing_col: str = "housing_type",
     relationship_col: str = "relationship_to_reference_person",
     u01: U01 = hash_u01,
+    guardians_unique: bool = True,
 ) -> DataFrame:
     """Duplicate dependents at their guardian's address (reference
     ``duplicate_with_guardian``, noise_functions.py:161-303; address
@@ -143,8 +144,14 @@ def duplicate_with_guardian(
     guardians = df.select(
         F.col(simulant_col).alias("_g_sid"),
         *[F.col(c).alias(f"_g_{c}") for c in address_columns],
-    ).dropDuplicates(["_g_sid"])
+    )
+    if not guardians_unique:
+        # only shuffle for dedup when the extract may repeat a simulant
+        guardians = guardians.dropDuplicates(["_g_sid"])
 
+    # The selected side is p% of dependents — small relative to the
+    # guardian projection; AQE turns this into a broadcast join at any
+    # realistic p, and a shuffled hash join otherwise.
     joined = selected.join(guardians, selected["_chosen_guardian"] == guardians["_g_sid"], "inner")
     # keep only duplicates whose guardian lives at a different address
     diff_addr = None
