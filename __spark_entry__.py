@@ -63,13 +63,14 @@ def entry(spark: SparkSession) -> DataFrame:
             "doc_id", "record_id"
         )
 
-    nc = normalize_records(via_spans(census), "census", "MM/dd/yyyy")
+    nc = normalize_records(via_spans(census), "census", "MM/dd/yyyy", ref_year=2020)
     nw = normalize_records(
         via_spans(w2), "w2", "MM/dd/yyyy",
         column_map={"zipcode": "mailing_address_zipcode", "city": "mailing_address_city",
                     "state": "mailing_address_state"},
+        ref_year=2020,
     )
-    ns = normalize_records(via_spans(ssa), "ssa", "yyyyMMdd")
+    ns = normalize_records(via_spans(ssa), "ssa", "yyyyMMdd", dob_fallback="event_date")
     records = nc.unionByName(nw).unionByName(ns)
     truth = (
         census.select("record_id", "simulant_id")

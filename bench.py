@@ -105,13 +105,14 @@ def bench_er(spark, n_simulants: int) -> "dict":
     census = noise.noise_dataset(synth.census_records(pop, 2020), D.DECENNIAL_CENSUS, cfg, seed=7)
     w2 = noise.noise_dataset(synth.w2_records(pop, 2020), D.TAXES_W2_AND_1099, cfg, seed=8)
     ssa = noise.noise_dataset(synth.ssa_records(pop), D.SOCIAL_SECURITY, cfg, seed=9)
-    nc = normalize_records(census, "census", "MM/dd/yyyy")
+    nc = normalize_records(census, "census", "MM/dd/yyyy", ref_year=2020)
     nw = normalize_records(
         w2, "w2", "MM/dd/yyyy",
         column_map={"zipcode": "mailing_address_zipcode", "city": "mailing_address_city",
                     "state": "mailing_address_state"},
+        ref_year=2020,
     )
-    ns = normalize_records(ssa, "ssa", "yyyyMMdd")
+    ns = normalize_records(ssa, "ssa", "yyyyMMdd", dob_fallback="event_date")
     records = nc.unionByName(nw).unionByName(ns).localCheckpoint()
     truth = (
         census.select("record_id", "simulant_id")

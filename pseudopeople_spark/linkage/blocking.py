@@ -43,10 +43,12 @@ def _kv(df: DataFrame, key: Column, prefix: str, id_col: str) -> DataFrame:
 def phonetic_blocks(
     df: DataFrame, id_col: str = "record_id", last_col: str = "last_name", dob_col: str = "dob"
 ) -> DataFrame:
-    """soundex + double-metaphone keys, salted with DOB birth-decade to
-    bound block sizes (a pure key refinement, no shuffle beyond the
-    pair-gen join itself)."""
-    decade = F.coalesce(F.substring(F.col(dob_col), 1, 3), F.lit("x"))
+    """soundex + double-metaphone keys, salted with the DOB birth-year
+    to bound block sizes (a pure key refinement, no shuffle beyond the
+    pair-gen join itself). Year-corrupted records fall out of these
+    blocks but are caught by the sorted-neighborhood and MinHash passes
+    (name-adjacent / name-similar respectively)."""
+    decade = F.coalesce(F.substring(F.col(dob_col), 1, 4), F.lit("x"))
     sdx = _kv(df, F.concat(F.soundex(F.upper(F.col(last_col))), F.lit("|"), decade), "sdx", id_col)
     dm = df.select(F.col(id_col), double_metaphone_udf(F.col(last_col)).alias("_dm"), decade.alias("_dec"))
     dmp = _kv(dm, F.concat(F.col("_dm.primary"), F.lit("|"), F.col("_dec")), "dmp", id_col)

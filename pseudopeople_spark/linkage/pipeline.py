@@ -41,7 +41,7 @@ class ResolveConfig:
     checkpoint_dir: "str | None" = None
 
 
-CANONICAL_FIELDS = ["first_name", "middle", "last_name", "dob", "ssn_digits", "zipcode", "city", "state", "sex"]
+CANONICAL_FIELDS = ["first_name", "middle", "last_name", "dob", "byear", "ssn_digits", "zipcode", "city", "state", "sex"]
 
 
 def _dob_digits(col: Column, fmt: str) -> Column:
@@ -63,6 +63,8 @@ def normalize_records(
     dataset_name: str,
     date_format: str = "MM/dd/yyyy",
     column_map: "dict[str, str] | None" = None,
+    dob_fallback: "str | None" = None,
+    ref_year: "int | None" = None,
 ) -> DataFrame:
     """Map a dataset extract onto the canonical linkage schema:
     (record_id, dataset, first_name, last_name, dob, ssn_digits,
@@ -115,6 +117,25 @@ def normalize_records(
         return out
 
     dob_src = src("dob") if "dob" in m else (F.col("date_of_birth") if "date_of_birth" in df.columns else None)
+    # domain-evidence recovery for blanked dobs:
+    #  * dob_fallback: another date column that equals the birth date
+    #    (SSA 'creation' events are dated at birth);
+    #  * ref_year + age: reconstruct the birth YEAR when the dob cell
+    #    was blanked (age is a separate column with independent noise).
+    if dob_src is not None:
+        dob_clean = F.when(dob_src.cast("string") == "", None).otherwise(dob_src.cast("string"))
+    else:
+        dob_clean = F.lit(None).cast("string")
+    if dob_fallback and dob_fallback in df.columns:
+        fb = F.when(F.col(dob_fallback).cast("string") == "", None).otherwise(F.col(dob_fallback).cast("string"))
+        dob_clean = F.coalesce(dob_clean, fb)
+    dob_digits_expr = (
+        _dob_digits(dob_clean, date_format) if (dob_src is not None or dob_fallback) else F.lit(None).cast("string")
+    )
+    byear = F.substring(dob_digits_expr, 1, 4)
+    if ref_year is not None and "age" in df.columns:
+        age_num = F.when(F.col("age").cast("string").rlike("^[0-9]+$"), F.col("age").cast("int"))
+        byear = F.coalesce(byear, (F.lit(ref_year) - age_num).cast("string"))
     if "middle" not in m:
         for cand in ("middle", "middle_initial", "middle_name"):
             if cand in df.columns:
@@ -129,7 +150,8 @@ def normalize_records(
         ).otherwise(clean(src("first_name"), FAKE_FIRST_NAMES, canonicalize_nicknames=True)).alias("first_name"),
         F.substring(clean(src("middle"), FAKE_FIRST_NAMES), 1, 1).alias("middle"),
         clean(src("last_name"), FAKE_LAST_NAMES).alias("last_name"),
-        (_dob_digits(dob_src.cast("string"), date_format) if dob_src is not None else F.lit(None).cast("string")).alias("dob"),
+        dob_digits_expr.alias("dob"),
+        byear.alias("byear"),
         (F.regexp_replace(ssn_src.cast("string"), "[^0-9]", "") if ssn_src is not None else F.lit(None).cast("string")).alias("ssn_digits"),
         clean(src("zipcode")).alias("zipcode"),
         clean(src("city")).alias("city"),
@@ -162,13 +184,24 @@ def resolve(
     DataFrames (blocks, pairs, scored, edges, assignments) and, when
     ``truth`` (record_id, simulant_id) is given, the pairwise-F1
     metrics."""
+    import time as _time
+
     cfg = cfg or ResolveConfig()
     ckpt = StageCheckpointer(spark, cfg.checkpoint_dir or "", enabled=bool(cfg.checkpoint_dir))
+    stage_seconds: "dict[str, float]" = {}
+
+    def _timed(name, fn):
+        t0 = _time.time()
+        out = ckpt.run(name, fn, upstream=None)
+        stage_seconds[name] = round(_time.time() - t0, 2)
+        return out
 
     # Materialize the (noised) input once: every downstream stage joins
     # against it, and the noising plan upstream is deep.
+    t0 = _time.time()
     records = records.localCheckpoint()
-    blocks = ckpt.run("blocking", lambda: candidate_blocks(records, cfg), upstream=["normalize"])
+    stage_seconds["normalize"] = round(_time.time() - t0, 2)
+    blocks = _timed("blocking", lambda: candidate_blocks(records, cfg))
 
     def _pairs() -> DataFrame:
         p = pairgen.pairs_from_blocks(blocks, max_block_size=cfg.max_block_size)
@@ -179,20 +212,19 @@ def resolve(
             p = p.unionByName(snb).dropDuplicates(["id_l", "id_r"])
         return p
 
-    cand = ckpt.run("pairs", _pairs, upstream=["blocking"])
+    cand = _timed("pairs", _pairs)
 
     def _scored() -> DataFrame:
         with_fields = scoring.attach_pair_fields(cand, records, CANONICAL_FIELDS)
         keep = ["id_l", "id_r", "score", "sim_first_name", "sim_last_name", "sim_dob",
                 "sim_middle", "sim_zipcode", "sim_city", "sim_sex",
-                "l_first_name", "r_first_name", "l_ssn_digits", "r_ssn_digits"]
+                "l_first_name", "r_first_name", "l_ssn_digits", "r_ssn_digits",
+                "l_byear", "r_byear"]
         return scoring.score_pairs(with_fields).select(*keep)
 
-    scored = ckpt.run("scoring", _scored, upstream=["pairs"])
+    scored = _timed("scoring", _scored)
     edges = scoring.match_edges(scored, cfg.threshold)
-    assignments = ckpt.run(
-        "clustering", lambda: cluster_records(edges, records), upstream=["scoring"]
-    )
+    assignments = _timed("clustering", lambda: cluster_records(edges, records))
 
     out = {
         "records": records,
@@ -201,6 +233,7 @@ def resolve(
         "scored": scored,
         "edges": edges,
         "assignments": assignments,
+        "stage_seconds": stage_seconds,
     }
     if truth is not None:
         out["metrics"] = pairwise_f1_on_candidates(cand, assignments, truth)

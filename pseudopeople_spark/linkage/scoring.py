@@ -139,36 +139,74 @@ def tiered_match(scored: DataFrame, threshold: float = 0.92) -> DataFrame:
         + (F.col("l_ssn_digits").isNotNull() & F.col("r_ssn_digits").isNotNull()).cast("int")
     )
     veto = jf.isNotNull() & (jf < 0.7)
+    # SSN disagreement is strong negative evidence: a same-person pair
+    # differs by at most a couple of noised digits, while different
+    # people share no digits beyond chance. Conflict blocks tiers 2-6
+    # (tier 1 requires exactness anyway).
+    ssn_conflict = (
+        F.col("l_ssn_digits").isNotNull()
+        & F.col("r_ssn_digits").isNotNull()
+        & (F.levenshtein("l_ssn_digits", "r_ssn_digits") > 2)
+    )
     # tier 1: SSN agreement, corroborated. The corroboration matters:
     # copy_from_household_member puts a RELATIVE's ssn on 1% of tax rows,
     # so a bare SSN join would merge households. When first name or dob
     # is blanked, last-name + non-conflicting dob corroborates instead.
+    # geo conflict: both zips present and different — used as negative
+    # evidence in the name-only tiers (same-household true pairs share
+    # the address; noise breaks it for only ~2% of them)
+    geo_conflict = (
+        F.col("sim_zipcode").isNotNull() & (F.col("sim_zipcode") == 0.0)
+    )
+    # birth-year evidence (from the dob, or reconstructed ref_year-age):
+    # agreement within the misreport_age spread supports a match; a gap
+    # beyond any noise channel refutes one
+    byear_diff = F.abs(F.col("l_byear").cast("int") - F.col("r_byear").cast("int"))
+    byear_agree = F.coalesce(byear_diff <= 2, F.lit(False))
+    byear_conflict = F.coalesce(byear_diff > 5, F.lit(False))
     tier1 = ssn_exact & (
-        (jf >= 0.8)
-        | (dob >= 0.85)
-        | ((jl >= 0.85) & (jf.isNull() | dob.isNull()) & (dob.isNull() | (dob >= 0.55)))
+        (jf >= 0.85)
+        | ((dob >= 0.85) & ~veto)
+        | ((jl >= 0.85) & (jf.isNull() | dob.isNull()) & (dob.isNull() | (dob >= 0.55)) & ~veto)
     )
     # tier 2: dob agreement (incl. month/day swap) + strong last name +
     # first agrees or is missing (blank/fake-name noise); a missing
     # first must not be contradicted by middle initial or sex
-    tier2 = (dob == 1.0) & (jl >= 0.85) & (
-        (jf >= 0.85) | (first_missing & mid_compat & sex_compat)
+    tier2 = (dob == 1.0) & (jl >= 0.85) & ~ssn_conflict & (
+        ((jf >= 0.85) & (mid_compat | (jf == 1.0)))
+        | (first_missing & mid_compat & sex_compat)
     )
     # tier 3: probabilistic fallback with an evidence floor (sparse
     # pairs renormalize to perfect scores) and the first-name veto
-    tier3 = (F.col("score") >= threshold) & (evidence >= 3) & ~veto
+    tier3 = (
+        (F.col("score") >= threshold)
+        & (evidence >= 3)
+        & ~veto
+        & ~ssn_conflict
+        # with the first name missing, near-miss dobs are pure
+        # name-collision bait — demand exact dob agreement
+        & (jf.isNull() | (jf >= 0.78))
+        & (jf.isNotNull() | (dob == 1.0))
+        # a high score with NO hard identifier present (no dob on a
+        # side, no ssn pair) is just agreeing names — not enough
+        & (dob.isNotNull() | (F.col("l_ssn_digits").isNotNull() & F.col("r_ssn_digits").isNotNull()))
+    )
     # tier 4: dob missing on one side (leave_blank) — near-exact names
     # + independent corroboration
-    tier4 = dob.isNull() & (jf >= 0.95) & (jl >= 0.95) & ((mid == 1.0) | geo_exact) & ~veto & sex_compat
+    tier4 = (
+        dob.isNull() & (jf >= 0.95) & (jl >= 0.95)
+        & ((mid == 1.0) | geo_exact | byear_agree) & ~byear_conflict
+        & ~veto & sex_compat & ~ssn_conflict & ~geo_conflict
+    )
     # tier 5: dob conflict (copy_from_household_member puts a relative's
     # dob on the row). The danger class is same-name kin at the same
     # address (parent/child, same-name siblings), so demand either a
     # near-agreeing dob with compatible middle/sex, or an exactly
     # matching middle initial with a half-agreeing dob.
     tier5 = (
-        (jl >= 0.95) & ~veto & sex_compat
+        (jl >= 0.95) & ~veto & sex_compat & ~ssn_conflict & ~geo_conflict
         & (
-            ((jf >= 0.85) & (dob >= 0.75) & mid_compat)
+            ((jf >= 0.9) & (dob >= 0.875) & mid_compat)
             | ((jf >= 0.95) & (dob >= 0.55) & (mid == 1.0))
             | ((jf >= 0.95) & (dob >= 0.55) & geo_exact & mid_compat)
         )
@@ -176,7 +214,7 @@ def tiered_match(scored: DataFrame, threshold: float = 0.92) -> DataFrame:
     # tier 6: last name blanked on a side — first+dob exact with
     # non-contradicting middle/sex (child records appear only in
     # census+ssa, where dob is the main identifier)
-    tier6 = jl.isNull() & (jf >= 0.95) & (dob == 1.0) & mid_compat & sex_compat
+    tier6 = jl.isNull() & (jf >= 0.95) & (dob == 1.0) & mid_compat & sex_compat & ~ssn_conflict
     return scored.withColumn(
         "is_match",
         F.coalesce(tier1, F.lit(False))

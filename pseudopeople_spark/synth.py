@@ -49,7 +49,16 @@ def _attrs(sid: Column, seed: int) -> "dict[str, Column]":
 
     first = _pick(assets.FIRST_NAMES, _h(seed, "first_name", sid))
     middle = F.substring(_pick(assets.FIRST_NAMES, _h(seed, "middle", sid)), 1, 1)
-    last = _pick(assets.LAST_NAMES, _h(seed, "last_name", hh))
+    # surname space: base pool + 25% hyphenated compounds — real surname
+    # vocabularies are heavy-tailed and far larger than any literal
+    # list; without this, large synthesized populations have an
+    # unrealistic density of full-name collisions
+    last_base = _pick(assets.LAST_NAMES, _h(seed, "last_name", hh))
+    last_second = _pick(assets.LAST_NAMES, _h(seed, "last_name2", hh))
+    last = F.when(
+        (F.pmod(_h(seed, "hyph", hh), F.lit(4)) == 0) & (last_base != last_second),
+        F.concat(last_base, F.lit("-"), last_second),
+    ).otherwise(last_base)
 
     sex = F.when(F.pmod(_h(seed, "sex", sid), F.lit(2)) == 0, "Female").otherwise("Male")
     race = _pick(D.RACES, _h(seed, "race", hh))

@@ -36,7 +36,7 @@ def resolved(spark, noised):
         back = decode_records(docs, fields).withColumnRenamed("doc_id", "record_id")
         return back
 
-    nc = normalize_records(via_spans(census, "census"), "census", "MM/dd/yyyy")
+    nc = normalize_records(via_spans(census, "census"), "census", "MM/dd/yyyy", ref_year=2020)
     nw = normalize_records(
         via_spans(w2, "w2"),
         "w2",
@@ -46,8 +46,9 @@ def resolved(spark, noised):
             "city": "mailing_address_city",
             "state": "mailing_address_state",
         },
+        ref_year=2020,
     )
-    ns = normalize_records(via_spans(ssa, "ssa"), "ssa", "yyyyMMdd")
+    ns = normalize_records(via_spans(ssa, "ssa"), "ssa", "yyyyMMdd", dob_fallback="event_date")
     records = nc.unionByName(nw).unionByName(ns)
     truth = (
         census.select("record_id", "simulant_id")
