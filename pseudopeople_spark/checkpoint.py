@@ -25,6 +25,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _capped_local_checkpoint(df: DataFrame) -> DataFrame:
+    """localCheckpoint with a partition-count cap. Stage outputs built
+    from multi-pass unions inherit the SUM of their parents' partitions
+    (union is partition-concatenation, and AQE only re-plans shuffles),
+    so an 8-pass blocking union checkpoints into ~800 partitions and
+    every downstream stage pays ~800 task launches. Cap at 4x the
+    cluster parallelism — high enough for skew headroom, low enough to
+    kill the per-task overhead."""
+    sc = df.sparkSession.sparkContext
+    cap = 4 * sc.defaultParallelism
+    if df.rdd.getNumPartitions() > cap:
+        df = df.coalesce(cap)
+    return df.localCheckpoint()
+
+
 class StageCheckpointer:
     def __init__(self, spark: SparkSession, root: str, enabled: bool = True):
         self.spark = spark
@@ -52,7 +67,7 @@ class StageCheckpointer:
             # stage boundary (localCheckpoint) — downstream stages and
             # iterative consumers must not re-optimize/re-execute the
             # whole upstream plan on every action.
-            return df_fn().localCheckpoint()
+            return _capped_local_checkpoint(df_fn())
         data_p, metrics_p, manifest_p = self._paths(stage)
         if self.is_complete(stage):
             return self.load(stage)

@@ -130,6 +130,59 @@ def minhash_blocks(
     return out
 
 
+def all_block_keys(
+    df: DataFrame,
+    id_col: str = "record_id",
+    last_col: str = "last_name",
+    first_col: str = "first_name",
+    dob_col: str = "dob",
+    ssn_col: str = "ssn_digits",
+    minhash_bands: int = 4,
+    minhash_rows: int = 2,
+) -> DataFrame:
+    """All blocking passes in ONE narrow projection + one ``stack``
+    unpivot: a single scan of the records and a single metaphone-UDF
+    evaluation, instead of one scan (and Python worker round-trip) per
+    pass. At 10^12 docs the blocking stage is scan-bound, so pass count
+    must not multiply scans.
+
+    Emits (block_key, record_id) for: soundex+year, double-metaphone
+    primary/secondary+year, SSN exact, and b MinHash band keys."""
+    year = F.coalesce(F.substring(F.col(dob_col), 1, 4), F.lit("x"))
+    dm = double_metaphone_udf(F.col(last_col))
+    name_text = F.concat_ws(
+        " ", F.coalesce(F.col(first_col), F.lit("")), F.coalesce(F.col(last_col), F.lit(""))
+    )
+    shingles = ngrams_padded(name_text, 3)
+
+    key_cols = {
+        "sdx": F.when(
+            F.col(last_col).isNotNull(),
+            F.concat(F.lit("sdx:"), F.soundex(F.upper(F.col(last_col))), F.lit("|"), year),
+        ),
+        "dmp": F.when(dm["primary"] != "", F.concat(F.lit("dmp:"), dm["primary"], F.lit("|"), year)),
+        "dms": F.when(
+            dm["secondary"] != dm["primary"],
+            F.concat(F.lit("dms:"), dm["secondary"], F.lit("|"), year),
+        ),
+        "ssn": F.when(F.length(ssn_col) == 9, F.concat(F.lit("ssn:"), F.col(ssn_col))),
+    }
+    for b in range(minhash_bands):
+        sig_parts = []
+        for r in range(minhash_rows):
+            i = b * minhash_rows + r
+            sig = F.array_min(F.transform(shingles, lambda s: F.xxhash64(F.lit(1337 + i), s)))
+            sig_parts.append(F.conv(F.pmod(sig, F.lit(2**62)).cast("string"), 10, 36))
+        key_cols[f"mh{b}"] = F.when(
+            F.length(name_text) > 1, F.concat(F.lit(f"mh{b}:"), F.concat_ws("_", *sig_parts))
+        )
+
+    keyed = df.select(F.col(id_col).alias("record_id"), *[v.alias(k) for k, v in key_cols.items()])
+    names = list(key_cols)
+    stack_expr = f"stack({len(names)}, " + ", ".join(f"{n}" for n in names) + ") AS block_key"
+    return keyed.selectExpr("record_id", stack_expr).where(F.col("block_key").isNotNull())
+
+
 def block_size_stats(blocks: DataFrame) -> DataFrame:
     """Block-size histogram — the skew diagnostic recorded in stage
     metrics (SURVEY.md §7.3)."""

@@ -69,7 +69,17 @@ def connected_components(
 
     Alternates large-star / small-star until the edge set is a fixed
     point (a forest of depth-1 stars pointing at component minima)."""
-    e = edges.select("u", "v").where(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    sc = edges.sparkSession.sparkContext
+    e = (
+        edges.select("u", "v")
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        # match-edge sets are ~1 edge per record at sane thresholds —
+        # tiny next to the pair set; fewer partitions keep the O(log n)
+        # iteration loop from being task-launch-bound
+        .coalesce(max(2, sc.defaultParallelism // 4))
+        .localCheckpoint()
+    )
     prev_fp = None
     for i in range(max_iterations):
         e = _small_star(_large_star(e))

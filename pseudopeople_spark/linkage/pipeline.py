@@ -161,17 +161,13 @@ def normalize_records(
 
 
 def candidate_blocks(records: DataFrame, cfg: ResolveConfig) -> DataFrame:
-    """Union of all blocking passes as (block_key, record_id)."""
-    b = blocking.phonetic_blocks(records)
-    b = b.unionByName(blocking.exact_blocks(records.where(F.length("ssn_digits") == 9), "ssn_digits", prefix="ssn"))
-    if cfg.use_minhash:
-        name_text = F.concat_ws(
-            " ", F.coalesce(F.col("first_name"), F.lit("")), F.coalesce(F.col("last_name"), F.lit(""))
-        )
-        b = b.unionByName(
-            blocking.minhash_blocks(records, name_text, bands=cfg.minhash_bands, rows_per_band=cfg.minhash_rows)
-        )
-    return b
+    """All blocking passes as (block_key, record_id) — one scan, one
+    UDF evaluation, one stack (see blocking.all_block_keys)."""
+    return blocking.all_block_keys(
+        records,
+        minhash_bands=cfg.minhash_bands if cfg.use_minhash else 0,
+        minhash_rows=cfg.minhash_rows,
+    )
 
 
 def resolve(
@@ -198,8 +194,10 @@ def resolve(
 
     # Materialize the (noised) input once: every downstream stage joins
     # against it, and the noising plan upstream is deep.
+    from pseudopeople_spark.checkpoint import _capped_local_checkpoint
+
     t0 = _time.time()
-    records = records.localCheckpoint()
+    records = _capped_local_checkpoint(records)
     stage_seconds["normalize"] = round(_time.time() - t0, 2)
     blocks = _timed("blocking", lambda: candidate_blocks(records, cfg))
 
