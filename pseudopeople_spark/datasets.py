@@ -214,7 +214,86 @@ AMERICAN_COMMUNITY_SURVEY = DatasetSpec(
     date_column="survey_date",
 )
 
+CURRENT_POPULATION_SURVEY = DatasetSpec(
+    name="current_population_survey",
+    columns=tuple(
+        _person_core()
+        + _address_block()
+        + [
+            ColumnSpec("sex", (LEAVE_BLANK, CHOOSE_WRONG_OPTION), options=SEXES),
+            ColumnSpec("race_ethnicity", (LEAVE_BLANK, CHOOSE_WRONG_OPTION), options=RACES),
+            ColumnSpec("survey_date", ()),
+        ]
+    ),
+    date_format="MM/dd/yyyy",
+    row_noise_types=(DO_NOT_RESPOND, OMIT_ROW),
+    date_column="survey_date",
+)
+
+WOMEN_INFANTS_AND_CHILDREN = DatasetSpec(
+    name="women_infants_and_children",
+    columns=tuple(
+        _person_core()
+        + _address_block()
+        + [
+            ColumnSpec("sex", (LEAVE_BLANK, CHOOSE_WRONG_OPTION), options=SEXES),
+            ColumnSpec("race_ethnicity", (LEAVE_BLANK, CHOOSE_WRONG_OPTION), options=RACES),
+            ColumnSpec("year", (), dtype="int"),
+        ]
+    ),
+    date_format="MMddyyyy",
+    row_noise_types=(OMIT_ROW,),
+    date_column="year",
+)
+
+
+def _dependent_cols(k: int) -> "list[ColumnSpec]":
+    return [
+        ColumnSpec(f"dependent_{k}_first_name", _FIRST_NAME_NOISE),
+        ColumnSpec(f"dependent_{k}_last_name", _NAME_NOISE),
+        ColumnSpec(
+            f"dependent_{k}_ssn",
+            (LEAVE_BLANK, COPY_FROM_HOUSEHOLD_MEMBER, WRITE_WRONG_DIGITS),
+            copy_column=f"dependent_{k}_copy_ssn",
+        ),
+    ]
+
+
+TAXES_1040 = DatasetSpec(
+    name="taxes_1040",
+    columns=tuple(
+        _person_core()
+        + [
+            ColumnSpec("ssn", (LEAVE_BLANK, COPY_FROM_HOUSEHOLD_MEMBER, WRITE_WRONG_DIGITS), copy_column="copy_ssn"),
+            ColumnSpec("spouse_first_name", _FIRST_NAME_NOISE),
+            ColumnSpec("spouse_last_name", _NAME_NOISE),
+            ColumnSpec(
+                "spouse_ssn",
+                (LEAVE_BLANK, COPY_FROM_HOUSEHOLD_MEMBER, WRITE_WRONG_DIGITS),
+                copy_column="spouse_copy_ssn",
+            ),
+        ]
+        + _address_block("mailing_address_")
+        + _dependent_cols(1)
+        + _dependent_cols(2)
+        + _dependent_cols(3)
+        + _dependent_cols(4)
+        + [ColumnSpec("tax_year", (), dtype="int")]
+    ),
+    date_format="MM/dd/yyyy",
+    row_noise_types=(OMIT_ROW,),
+    date_column="tax_year",
+)
+
 DATASETS = {
     d.name: d
-    for d in (DECENNIAL_CENSUS, TAXES_W2_AND_1099, SOCIAL_SECURITY, AMERICAN_COMMUNITY_SURVEY)
+    for d in (
+        DECENNIAL_CENSUS,
+        AMERICAN_COMMUNITY_SURVEY,
+        CURRENT_POPULATION_SURVEY,
+        WOMEN_INFANTS_AND_CHILDREN,
+        SOCIAL_SECURITY,
+        TAXES_W2_AND_1099,
+        TAXES_1040,
+    )
 }

@@ -82,9 +82,12 @@ def connected_components(
     )
     prev_fp = None
     for i in range(max_iterations):
+        # two star-rounds per driver round-trip: halves the number of
+        # checkpoint+fingerprint jobs (the loop is task-launch-bound on
+        # small edge sets; extra converged rounds are idempotent)
         e = _small_star(_large_star(e))
-        if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            e = e.localCheckpoint()
+        e = _small_star(_large_star(e))
+        e = e.localCheckpoint()
         fp = _fingerprint(e)
         if fp == prev_fp:
             break

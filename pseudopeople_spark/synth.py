@@ -201,6 +201,112 @@ def w2_records(pop: DataFrame, tax_year: int, seed: int = 42) -> DataFrame:
     )
 
 
+def _survey_date(seed: int, decision: str, year: int) -> Column:
+    doy = F.pmod(_h(seed, decision, F.col("sid")), F.lit(364)) + 1
+    return F.date_format(
+        F.date_add(F.make_date(F.lit(year), F.lit(1), F.lit(1)), (doy - 1).cast("int")), "MM/dd/yyyy"
+    )
+
+
+def acs_records(pop: DataFrame, year: int, sample_rate: float = 0.2, seed: int = 42) -> DataFrame:
+    """American Community Survey extract (schema
+    ``schema_entities.py:629-659``): a deterministic hash-sample of the
+    population surveyed on a random date within the year."""
+    y = F.lit(year)
+    sampled = pop.where(F.pmod(_h(seed, f"acs_{year}", F.col("sid")), F.lit(1_000_000)) < int(sample_rate * 1_000_000))
+    return sampled.select(
+        F.format_string(f"acs_{year}_%09d", F.col("sid")).alias("record_id"),
+        "simulant_id", "household_id", "first_name", "middle_initial", "last_name",
+        _age_at(y, F.col("birth_year")).cast("string").alias("age"),
+        F.date_format("date_of_birth_date", "MM/dd/yyyy").alias("date_of_birth"),
+        "street_number", "street_name", "unit_number", "city", "state", "zipcode",
+        "sex", "race_ethnicity",
+        _survey_date(seed, f"acs_date_{year}", year).alias("survey_date"),
+        _age_at(y, F.col("copy_birth_year")).cast("string").alias("copy_age"),
+        F.date_format("copy_date_of_birth_date", "MM/dd/yyyy").alias("copy_date_of_birth"),
+    )
+
+
+def cps_records(pop: DataFrame, year: int, sample_rate: float = 0.1, seed: int = 42) -> DataFrame:
+    """Current Population Survey extract (``schema_entities.py:660-688``)."""
+    return (
+        acs_records(pop, year, sample_rate=sample_rate, seed=seed + 1)
+        .withColumn("record_id", F.regexp_replace("record_id", "^acs_", "cps_"))
+    )
+
+
+def wic_records(pop: DataFrame, year: int, seed: int = 42) -> DataFrame:
+    """WIC extract (``schema_entities.py:689-715``): children under 5
+    plus a sample of mothers."""
+    y = F.lit(year)
+    age = _age_at(y, F.col("birth_year"))
+    eligible = pop.where(
+        ((age < 5) & (age >= 0))
+        | ((F.col("member") == 1) & (F.pmod(_h(seed, "wic_mother", F.col("sid")), F.lit(10)) == 0))
+    )
+    return eligible.select(
+        F.format_string(f"wic_{year}_%09d", F.col("sid")).alias("record_id"),
+        "simulant_id", "household_id", "first_name", "middle_initial", "last_name",
+        age.cast("string").alias("age"),
+        F.date_format("date_of_birth_date", "MMddyyyy").alias("date_of_birth"),
+        "street_number", "street_name", "unit_number", "city", "state", "zipcode",
+        "sex", "race_ethnicity",
+        y.alias("year"),
+        _age_at(y, F.col("copy_birth_year")).cast("string").alias("copy_age"),
+        F.date_format("copy_date_of_birth_date", "MMddyyyy").alias("copy_date_of_birth"),
+    )
+
+
+def tax1040_records(pop: DataFrame, tax_year: int, seed: int = 42) -> DataFrame:
+    """1040 extract (``schema_entities.py:773-811``): one joint filing
+    per household — filer (member 0) + spouse (member 1) + up to 4
+    dependent columns, all derived attribute-functionally (no join)."""
+    y = F.lit(tax_year)
+    filers = pop.where(F.col("member") == 0)
+    sid = F.col("sid")
+    spouse = _attrs(sid + 1, seed)
+    dep1 = _attrs(sid + 2, seed)
+    dep2 = _attrs(sid + 3, seed)
+    return filers.select(
+        F.format_string(f"t1040_{tax_year}_%09d", sid).alias("record_id"),
+        "simulant_id", "household_id", "first_name", "middle_initial", "last_name",
+        _age_at(y, F.col("birth_year")).cast("string").alias("age"),
+        F.date_format("date_of_birth_date", "MM/dd/yyyy").alias("date_of_birth"),
+        "ssn",
+        spouse["first_name"].alias("spouse_first_name"),
+        spouse["last_name"].alias("spouse_last_name"),
+        spouse["ssn"].alias("spouse_ssn"),
+        F.col("street_number").alias("mailing_address_street_number"),
+        F.col("street_name").alias("mailing_address_street_name"),
+        F.col("unit_number").alias("mailing_address_unit_number"),
+        F.col("city").alias("mailing_address_city"),
+        F.col("state").alias("mailing_address_state"),
+        F.col("zipcode").alias("mailing_address_zipcode"),
+        dep1["first_name"].alias("dependent_1_first_name"),
+        dep1["last_name"].alias("dependent_1_last_name"),
+        dep1["ssn"].alias("dependent_1_ssn"),
+        dep2["first_name"].alias("dependent_2_first_name"),
+        dep2["last_name"].alias("dependent_2_last_name"),
+        dep2["ssn"].alias("dependent_2_ssn"),
+        F.lit(None).cast("string").alias("dependent_3_first_name"),
+        F.lit(None).cast("string").alias("dependent_3_last_name"),
+        F.lit(None).cast("string").alias("dependent_3_ssn"),
+        F.lit(None).cast("string").alias("dependent_4_first_name"),
+        F.lit(None).cast("string").alias("dependent_4_last_name"),
+        F.lit(None).cast("string").alias("dependent_4_ssn"),
+        y.alias("tax_year"),
+        # shadow copy columns consumed by copy_from_household_member
+        _age_at(y, F.col("copy_birth_year")).cast("string").alias("copy_age"),
+        F.date_format("copy_date_of_birth_date", "MM/dd/yyyy").alias("copy_date_of_birth"),
+        F.col("copy_ssn"),
+        F.col("ssn").alias("spouse_copy_ssn"),
+        dep2["ssn"].alias("dependent_1_copy_ssn"),
+        dep1["ssn"].alias("dependent_2_copy_ssn"),
+        F.lit(None).cast("string").alias("dependent_3_copy_ssn"),
+        F.lit(None).cast("string").alias("dependent_4_copy_ssn"),
+    )
+
+
 def ssa_records(pop: DataFrame, seed: int = 42) -> DataFrame:
     """SSA extract (schema ``schema_entities.py:716-736``): an ssn
     creation event per simulant; dates yyyyMMdd."""

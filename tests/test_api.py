@@ -1,0 +1,54 @@
+"""Public API parity tests: the reference's 7 generate_* entry points
+(its __init__.py:11-21), schema contract, NO_NOISE sentinel, state
+filter, seed determinism."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pseudopeople_spark import api, datasets as D
+from pseudopeople_spark.config import NO_NOISE
+
+GENERATORS = {
+    "decennial_census": api.generate_decennial_census,
+    "american_community_survey": api.generate_american_community_survey,
+    "current_population_survey": api.generate_current_population_survey,
+    "women_infants_and_children": api.generate_women_infants_and_children,
+    "social_security": api.generate_social_security,
+    "taxes_w2_and_1099": api.generate_taxes_w2_and_1099,
+    "taxes_1040": api.generate_taxes_1040,
+}
+
+
+@pytest.mark.parametrize("name", list(GENERATORS))
+def test_generators_schema_and_rows(spark, name):
+    df = GENERATORS[name](spark, seed=3, population=400)
+    spec = D.DATASETS[name]
+    # declared output schema, in declared order (after the record_id key)
+    assert df.columns == ["record_id"] + spec.column_names
+    assert df.count() > 0
+
+
+def test_no_noise_is_identity_on_cells(spark):
+    noisy = api.generate_decennial_census(spark, seed=5, population=400)
+    clean = api.generate_decennial_census(spark, seed=5, population=400, config=NO_NOISE)
+    # NO_NOISE keeps every row (row noise off) and never nulls a name
+    assert clean.count() == 400
+    assert clean.where(F.col("first_name").isNull()).count() == 0
+    assert noisy.count() < 400  # default row noise drops some
+
+
+def test_state_filter(spark):
+    df = api.generate_decennial_census(spark, seed=2, population=800, state="CA", config=NO_NOISE)
+    assert df.select("state").distinct().collect() == [("CA",)] or df.count() == 0
+
+
+def test_seed_determinism(spark):
+    a = api.generate_taxes_w2_and_1099(spark, seed=9, population=300)
+    b = api.generate_taxes_w2_and_1099(spark, seed=9, population=300)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_ssa_year_filter(spark):
+    df = api.generate_social_security(spark, seed=1, population=400, year=2000, config=NO_NOISE)
+    years = df.select(F.substring("event_date", 1, 4).cast("int").alias("y"))
+    assert years.where(F.col("y") > 2000).count() == 0
