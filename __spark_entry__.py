@@ -761,6 +761,28 @@ def streaming_window_agg(spark, sf_dir):
     )
 
 
+@_q("simhash_near_dups")
+def simhash_near_dups_query(spark, sf_dir):
+    """SimHash banding + Hamming verification near-dup pairs (Arrow UDF
+    signature, banding join — rows-only: 64-bit simhash has no DuckDB
+    equivalent)."""
+    from pseudopeople_spark.functions.textdedup import simhash_near_dups
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", F.substring("text", 1, 200).alias("text"))
+    return simhash_near_dups(d, max_hamming=6)
+
+
+@_q("ann_ivf_topk")
+def ann_ivf_topk_query(spark, sf_dir):
+    """IVF-bucketed ANN (sample-trained centroids, nprobe bucket probe)
+    — the scale path whose exact-recall baseline is ann_cosine_topk."""
+    from pseudopeople_spark.functions.ann import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    return ivf_topk(e, q, k=10, n_buckets=8, nprobe=4)
+
+
 # Spark-only operators: no portable SQL equivalent -> rows-only check
 @_q("soundex_blocks")
 def soundex_blocks(spark, sf_dir):

@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "embedding_stats",
     "minhash_bands",
+    "simhash_near_dups",
+    "ann_ivf_topk",
     "soundex_blocks",
     "noise_leave_blank",
     "noise_choose_wrong_option",

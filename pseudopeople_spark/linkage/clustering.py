@@ -69,17 +69,15 @@ def connected_components(
 
     Alternates large-star / small-star until the edge set is a fixed
     point (a forest of depth-1 stars pointing at component minima)."""
-    sc = edges.sparkSession.sparkContext
-    e = (
-        edges.select("u", "v")
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-        # match-edge sets are ~1 edge per record at sane thresholds —
-        # tiny next to the pair set; fewer partitions keep the O(log n)
-        # iteration loop from being task-launch-bound
-        .coalesce(max(2, sc.defaultParallelism // 4))
-        .localCheckpoint()
-    )
+    e = edges.select("u", "v").where(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    # size the iteration loop's partitioning by DATA, not core count:
+    # ~250k edges per partition keeps tasks meaningful while bounding
+    # the per-round task-launch overhead that otherwise dominates the
+    # O(log n) loop (and makes wall time depend on executor count)
+    n_edges = e.count()
+    parts = max(1, min(256, n_edges // 250_000 + 1))
+    if e.rdd.getNumPartitions() != parts:
+        e = e.repartition(parts).localCheckpoint()
     prev_fp = None
     for i in range(max_iterations):
         # two star-rounds per driver round-trip: halves the number of

@@ -1,0 +1,66 @@
+"""Plan-quality tests: predicate pushdown, broadcast joins, and the
+single-Arrow-crossing property of the noise plan. At 100 TB the plan
+shape is the correctness criterion for performance."""
+
+from pyspark.sql import functions as F
+
+from pseudopeople_spark import config, datasets as D, noise, synth
+from pseudopeople_spark.plans.inspect import (
+    assert_broadcast_join,
+    assert_pushed_filters,
+    count_python_eval_nodes,
+    physical_plan,
+)
+from pseudopeople_spark.sources.reader import load_standard_dataset
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_to_parquet_scan(spark):
+    df = load_standard_dataset(
+        spark, f"{SF}/lineitem.parquet",
+        user_filters=[("l_shipdate", "<", "1996-01-01"), ("l_discount", ">", 0.02)],
+    ).select("l_orderkey", "l_quantity")
+    assert_pushed_filters(df, "l_shipdate", "l_discount")
+    # column pruning: the scan must read only the needed columns
+    plan = physical_plan(df)
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines and "l_extendedprice" not in scan_lines[0]
+
+
+def test_dimension_joins_are_broadcast(spark):
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    n = spark.read.parquet(f"{SF}/nation.parquet")
+    df = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name").agg(F.sum("o_totalprice").alias("t"))
+    )
+    assert_broadcast_join(df, at_least=2)
+
+
+def test_noise_plan_single_arrow_crossing(spark):
+    """All token-noise columns (census has 5) must funnel through ONE
+    ArrowEvalPython node — the batched kernel — not one per column."""
+    pop = synth.simulants(spark, 100, seed=1)
+    census = synth.census_records(pop, 2020)
+    noised = noise.noise_dataset(census, D.DECENNIAL_CENSUS, config.get_config(), seed=2)
+    assert count_python_eval_nodes(noised) == 1
+
+
+def test_no_rowwise_python_udfs_anywhere(spark):
+    """BatchEvalPython (row-at-a-time pickling) must never appear; only
+    ArrowEvalPython (vectorized) is allowed."""
+    pop = synth.simulants(spark, 100, seed=1)
+    census = synth.census_records(pop, 2020)
+    noised = noise.noise_dataset(census, D.DECENNIAL_CENSUS, config.get_config(), seed=2)
+    assert "BatchEvalPython" not in physical_plan(noised)
+
+
+def test_loader_filter_ops(spark):
+    df = load_standard_dataset(
+        spark, f"{SF}/orders.parquet", user_filters=[("o_orderpriority", "in", ["1-URGENT", "2-HIGH"])]
+    )
+    got = {r["o_orderpriority"] for r in df.select("o_orderpriority").distinct().collect()}
+    assert got <= {"1-URGENT", "2-HIGH"}
