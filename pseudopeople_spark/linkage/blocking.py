@@ -85,7 +85,12 @@ def sorted_neighborhood_pairs(
     funnels through one task. Returns (id_l, id_r, block_key)."""
     key = F.concat_ws("\x01", *[F.coalesce(F.col(c), F.lit("")) for c in sort_cols])
     base = df.select(F.col(id_col), key.alias("_snk"))
-    part = partition_expr if partition_expr is not None else F.substring(F.col("_snk"), 1, 1)
+    # window partitioned by a 2-char sort-key prefix: a 1-char prefix
+    # gives ~26 Zipf-skewed partitions whose head serializes the stage
+    # (Amdahl) at high parallelism; 2 chars -> ~500 partitions. Pairs
+    # that straddle a prefix boundary are the standard windowed-SNB
+    # loss, covered by the phonetic/MinHash passes.
+    part = partition_expr if partition_expr is not None else F.substring(F.col("_snk"), 1, 2)
     w = Window.partitionBy(part).orderBy(F.col("_snk"), F.col(id_col))
     pairs = None
     for k in range(1, window_size + 1):

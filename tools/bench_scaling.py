@@ -113,8 +113,8 @@ def main() -> None:
             "(0.60 ceiling) — the CPUs are shared/throttled above ~8-16 active threads.\n"
             "The N→4N pair below is therefore local[2]→local[8], where the hardware\n"
             "ceiling itself is ~0.83; efficiency relative to that ceiling is also shown.\n\n"
-            f"Input: {n:,} simulants → {results[8]['n_records']:,} records; "
-            f"{results[8]['n_pairs']:,} candidate pairs; {results[8]['n_clusters']:,} clusters.\n\n"
+            f"Input: {n:,} simulants → {results[hi]['n_records']:,} records; "
+            f"{results[hi]['n_pairs']:,} candidate pairs; {results[hi]['n_clusters']:,} clusters.\n\n"
             "| parallelism | resolve wall (s) | pairs/sec |\n|---|---|---|\n"
             f"| local[{lo}] (N) | {t8} | {results[lo]['pairs_per_sec']:,} |\n"
             f"| local[{hi}] (4N) | {t32} | {results[hi]['pairs_per_sec']:,} |\n\n"
