@@ -131,14 +131,23 @@ def bench_er(spark, n_simulants: int) -> "dict":
 
 def main() -> None:
     spark = get_spark("bench", master=f"local[{CPUS}]")
+    # The JSON line below must be the LAST thing on stdout/stderr: any
+    # late log line (e.g. the streaming StateStore maintenance thread
+    # warning after shutdown) breaks the driver's parse. Silence the JVM
+    # loggers for the whole run — bench output is the JSON, not logs.
+    spark.sparkContext.setLogLevel("OFF")
     qs = E.queries()
     times: "dict[str, float]" = {}
+    errors: "dict[str, str]" = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
         t0 = time.time()
-        df = fn(spark, SF_DIR)
-        df.count()  # force full execution without driver transfer
-        times[name] = round(time.time() - t0, 3)
+        try:
+            df = fn(spark, SF_DIR)
+            df.count()  # force full execution without driver transfer
+            times[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # keep the suite (and the JSON line) alive
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
     noise_cold, noise_warm, noise_rows = bench_noising(spark)
     times["noising_census_1m_cold"] = round(noise_cold, 3)
@@ -161,8 +170,20 @@ def main() -> None:
         "er_f1": round(er["f1"], 5),
         "cpus": int(CPUS),
     }
-    print(json.dumps(out))
+    if errors:
+        out["errors"] = errors
+    # Shut everything down BEFORE printing so no shutdown-time log line
+    # can land after the JSON: stop streaming queries (their StateStore
+    # maintenance thread logs asynchronously), then the session.
+    for q in spark.streams.active:
+        try:
+            q.stop()
+        except Exception:
+            pass
     spark.stop()
+    sys.stderr.flush()
+    print(json.dumps(out))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -46,10 +46,13 @@ def _finish(
             if c in df.columns:
                 df = df.where(F.col(c) == state)  # pushed down when source is a scan
                 break
-    # `config` is either user OVERRIDES (merged onto defaults) or an
-    # already-resolved tree (e.g. NO_NOISE) — detect by shape
-    resolved = bool(config) and spec.name in config and "column_noise" in config[spec.name]
-    cfg = config if resolved else get_config(config)
+    # `config` is user OVERRIDES, ALWAYS merged onto the baseline (the
+    # reference's get_configuration always layers user config over
+    # defaults, configuration/generator.py:83-157). The only value used
+    # verbatim is the NO_NOISE sentinel, detected by IDENTITY — a user
+    # override that happens to look like {dataset: {column_noise: ...}}
+    # must still be merged, not swallowed whole.
+    cfg = config if config is NO_NOISE else get_config(config)
     return N.noise_dataset(df, spec, cfg, seed=seed)
 
 

@@ -18,9 +18,13 @@ from pseudopeople_spark import datasets as D
 
 DEFAULT_CELL_PROBABILITY = 0.01  # reference entity_types.py:79
 DEFAULT_TOKEN_PROBABILITY = 0.1  # reference noise_entities.py:74-114
-DEFAULT_OMIT_ROW = {"decennial_census": 0.0145, "taxes_w2_and_1099": 0.005, "social_security": 0.0145,
-                    "american_community_survey": 0.0145}  # generator.py:50-66
-DEFAULT_DO_NOT_RESPOND = {"decennial_census": 0.0145, "american_community_survey": 0.0145}
+# Per-dataset row-noise defaults (reference DEFAULT_NOISE_VALUES,
+# configuration/generator.py:20-80): W2/WIC omit_row 0.005, everything
+# else the 0.0145 baseline; do_not_respond census/ACS 0.0145, CPS 0.2905
+# (constants/data_values.py:41-45).
+DEFAULT_OMIT_ROW = {"taxes_w2_and_1099": 0.005, "women_infants_and_children": 0.005}
+DEFAULT_DO_NOT_RESPOND = {"decennial_census": 0.0145, "american_community_survey": 0.0145,
+                          "current_population_survey": 0.2905}
 TOKEN_NOISE_TYPES = {D.MAKE_PHONETIC_ERRORS, D.MAKE_OCR_ERRORS, D.MAKE_TYPOS, D.WRITE_WRONG_DIGITS}
 
 
@@ -59,6 +63,17 @@ def baseline_config(dataset: D.DatasetSpec) -> "dict[str, Any]":
                 params["possible_age_differences"] = {-2: 0.1, -1: 0.4, 1: 0.4, 2: 0.1}
             entry[nt] = params
         column_noise[col.name] = entry
+    # Dataset-specific column exceptions (reference DEFAULT_NOISE_VALUES,
+    # configuration/generator.py:52-79): no noise of ANY kind for SSN in
+    # the SSA observer; W2/1099 ssn copy_from_household_member defaults
+    # to 0.
+    if dataset.name == "social_security" and "ssn" in column_noise:
+        for nt in column_noise["ssn"]:
+            column_noise["ssn"][nt]["cell_probability"] = 0.0
+    if dataset.name == "taxes_w2_and_1099" and "ssn" in column_noise:
+        cfm = column_noise["ssn"].get("copy_from_household_member")
+        if cfm is not None:
+            cfm["cell_probability"] = 0.0
     return {"row_noise": row_noise, "column_noise": column_noise}
 
 

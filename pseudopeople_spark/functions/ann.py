@@ -45,12 +45,30 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 def train_ivf_centroids(
-    vectors: DataFrame, vec_col: str = "embedding", k: int = 16, sample_limit: int = 10_000, seed: int = 7
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    sample_limit: int = 10_000,
+    seed: int = 7,
 ) -> np.ndarray:
-    """Sample vectors deterministically (ordered limit) and train
-    centroids driver-side. At 10^12 rows the sample is a tablesample —
-    training cost is independent of table size."""
-    pdf = vectors.select(vec_col).limit(sample_limit).toPandas()
+    """Train centroids driver-side on a DETERMINISTIC sample: rows whose
+    CRN hash of the stable id falls below the sampling fraction, sorted
+    by id. A bare ``limit`` without ordering is partition-order
+    dependent (changes under repartitioning/AQE) and would violate the
+    CRN contract (crn.py:12-17). At 10^12 rows the hash filter is a
+    single scan-side predicate — training cost is independent of table
+    size once the fraction is sized to the table."""
+    from pseudopeople_spark.crn import hash_u01
+
+    n = vectors.count()
+    if n > sample_limit:
+        # oversample 1.5x by hash, then take the first `sample_limit` by id
+        frac = min(1.0, 1.5 * sample_limit / n)
+        sampled = vectors.where(hash_u01(F.col(id_col), seed, "ivf_train_sample") < frac)
+    else:
+        sampled = vectors
+    pdf = sampled.select(id_col, vec_col).orderBy(id_col).limit(sample_limit).toPandas()
     m = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     return _kmeans(_normalize(m), k, seed=seed)
 
@@ -82,7 +100,7 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF-bucketed cosine top-k: candidates restricted to the query's
     ``nprobe`` nearest buckets. Returns (qid, cid, sim, rn<=k)."""
-    centroids = train_ivf_centroids(vectors, vec_col, k=n_buckets, seed=seed)
+    centroids = train_ivf_centroids(vectors, vec_col, id_col=id_col, k=n_buckets, seed=seed)
     assign1 = make_bucket_udf(centroids, nprobe=1)
     assignp = make_bucket_udf(centroids, nprobe=nprobe)
 

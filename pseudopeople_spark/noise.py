@@ -22,9 +22,7 @@ from pseudopeople_spark.operators import column_noise as cn
 from pseudopeople_spark.operators import row_noise as rn
 from pseudopeople_spark.operators.kernels import apply_token_noise_all_columns
 
-ADDRESS_COLUMNS = [
-    "street_number", "street_name", "unit_number", "city", "state", "zipcode",
-]
+OVERSAMPLED_DATASETS = {"american_community_survey", "current_population_survey"}
 
 
 def noise_dataset(
@@ -50,13 +48,18 @@ def noise_dataset(
             p18 = params.get("row_probability_in_households_under_18", 0.02)
             p24 = params.get("row_probability_in_college_group_quarters_under_24", 0.05)
             if (p18 > 0 or p24 > 0) and "guardian_1" in df.columns:
-                df = rn.duplicate_with_guardian(
-                    df, key_col, ADDRESS_COLUMNS, p_under_18=p18, p_college=p24, seed=seed
-                )
+                df = rn.duplicate_with_guardian(df, key_col, p_under_18=p18, p_college=p24, seed=seed)
         elif nt == D.DO_NOT_RESPOND:
             p = params.get("row_probability", 0.0)
             if p > 0:
-                df = rn.do_not_respond(df, key_col, configured_level=p, seed=seed)
+                df = rn.do_not_respond(
+                    df, key_col, configured_level=p,
+                    default_level=rn.DNR_DEFAULT_LEVELS.get(spec.name, rn.DNR_DEFAULT_LEVEL),
+                    oversample_adjust=spec.name in OVERSAMPLED_DATASETS,
+                    cps_additive=rn.CPS_NONRESPONSE_ADDITIVE
+                    if spec.name == "current_population_survey" else 0.0,
+                    seed=seed,
+                )
         elif nt == D.OMIT_ROW:
             p = params.get("row_probability", 0.0)
             if p > 0:

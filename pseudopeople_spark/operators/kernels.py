@@ -49,28 +49,32 @@ def _corrupt_tokens_one(
     max_token_len: int,
     token_probability: float,
 ) -> str:
+    """One string through the token-corruption scan. At each position
+    every eligible token gets its own corruption draw, tried
+    longest-first: when the longest token's draw fails, successively
+    SHORTER tokens at the same position still get a chance (the
+    reference tries each token length independently,
+    noise_functions.py:838-918) — only when every draw at the position
+    fails does the scan advance one character."""
     out: list[str] = []
     i = 0
     n = len(s)
     pos_salt = np.uint64(salt)
     while i < n:
-        token = None
+        corrupted = False
         for L in range(min(max_token_len, n - i), 0, -1):
             cand = s[i : i + L]
-            if cand in rules:
-                token = cand
+            if cand not in rules:
+                continue
+            u = splitmix64_u01([np.uint64(row_key), np.uint64(i), pos_salt + np.uint64(2 * L)])
+            if u < token_probability:
+                variants = rules[cand]
+                u2 = splitmix64_u01([np.uint64(row_key), np.uint64(i), pos_salt + np.uint64(2 * L + 1)])
+                out.append(variants[int(u2 * len(variants))])
+                i += L
+                corrupted = True
                 break
-        if token is None:
-            out.append(s[i])
-            i += 1
-            continue
-        u = splitmix64_u01([np.uint64(row_key), np.uint64(i), pos_salt])
-        if u < token_probability:
-            variants = rules[token]
-            u2 = splitmix64_u01([np.uint64(row_key), np.uint64(i), pos_salt + np.uint64(1)])
-            out.append(variants[int(u2 * len(variants))])
-            i += len(token)
-        else:
+        if not corrupted:
             out.append(s[i])
             i += 1
     return "".join(out)
@@ -119,30 +123,6 @@ def make_typos_udf(
     salt = _salt(seed, decision)
     frozen = {k: str(v) for k, v in qwerty.items()}
 
-    def _typo_one(s: str, row_key: int) -> str:
-        out: list[str] = []
-        rk = np.uint64(row_key)
-        st = np.uint64(salt)
-        for i, ch in enumerate(s):
-            low = ch.lower()
-            nbrs = frozen.get(low)
-            if nbrs is None:
-                out.append(ch)
-                continue
-            u = splitmix64_u01([rk, np.uint64(i), st])
-            if u >= token_probability:
-                out.append(ch)
-                continue
-            u2 = splitmix64_u01([rk, np.uint64(i), st + np.uint64(1)])
-            typo = nbrs[int(u2 * len(nbrs))]
-            if ch.isupper():
-                typo = typo.upper()
-            u3 = splitmix64_u01([rk, np.uint64(i), st + np.uint64(2)])
-            if u3 < include_original_probability:
-                out.append(ch)
-            out.append(typo)
-        return "".join(out)
-
     @F.pandas_udf(T.StringType())
     def typos(key: pd.Series, mask: pd.Series, val: pd.Series) -> pd.Series:
         out = val.copy()
@@ -151,7 +131,11 @@ def make_typos_udf(
             keys = key.to_numpy(dtype=np.int64).astype(np.uint64)
             idx = np.nonzero(sel)[0]
             vals = val.to_numpy(dtype=object)
-            out.iloc[idx] = [_typo_one(str(vals[j]), int(keys[j])) for j in idx]
+            out.iloc[idx] = [
+                _typo_one_impl(str(vals[j]), int(keys[j]), frozen, token_probability, salt,
+                               include_original_probability)
+                for j in idx
+            ]
         return out
 
     return typos
@@ -171,27 +155,6 @@ def make_combined_token_noise_udf(specs: "list[tuple[str, Mapping, float, int]]"
             frozen = {k: tuple(v) for k, v in rules.items()}
             prepared.append(("tok", frozen, tp, salt, max(len(k) for k in frozen)))
 
-    def _typo_one(s: str, row_key: int, frozen, tp: float, salt: int) -> str:
-        out: list[str] = []
-        rk = np.uint64(row_key)
-        st = np.uint64(salt)
-        for i, ch in enumerate(s):
-            nbrs = frozen.get(ch.lower())
-            if nbrs is None:
-                out.append(ch)
-                continue
-            if splitmix64_u01([rk, np.uint64(i), st]) >= tp:
-                out.append(ch)
-                continue
-            u2 = splitmix64_u01([rk, np.uint64(i), st + np.uint64(1)])
-            typo = nbrs[int(u2 * len(nbrs))]
-            if ch.isupper():
-                typo = typo.upper()
-            if splitmix64_u01([rk, np.uint64(i), st + np.uint64(2)]) < 0.1:
-                out.append(ch)
-            out.append(typo)
-        return "".join(out)
-
     @F.pandas_udf(T.StringType())
     def combined(key: pd.Series, *args: pd.Series) -> pd.Series:
         masks = args[:-1]
@@ -208,7 +171,7 @@ def make_combined_token_noise_udf(specs: "list[tuple[str, Mapping, float, int]]"
                 continue
             if kind == "typo":
                 for j in idx:
-                    vals[j] = _typo_one(str(vals[j]), int(keys[j]), rules, tp, salt)
+                    vals[j] = _typo_one_impl(str(vals[j]), int(keys[j]), rules, tp, salt)
             else:
                 for j in idx:
                     vals[j] = _corrupt_tokens_one(str(vals[j]), int(keys[j]), salt, rules, mx, tp)
@@ -328,7 +291,13 @@ def apply_token_noise_all_columns(
     return df.drop(tmp)
 
 
-def _typo_one_impl(s: str, row_key: int, frozen, tp: float, salt: int) -> str:
+def _typo_one_impl(
+    s: str, row_key: int, frozen, tp: float, salt: int, include_original_probability: float = 0.1
+) -> str:
+    """QWERTY typo scan for one string. ~10% of typos KEEP the original
+    character, emitted typo-FIRST then original (the reference assigns
+    the typo at the character position and appends the original after
+    it, noise_functions.py:740-755)."""
     out: list[str] = []
     rk = np.uint64(row_key)
     st = np.uint64(salt)
@@ -344,9 +313,9 @@ def _typo_one_impl(s: str, row_key: int, frozen, tp: float, salt: int) -> str:
         typo = nbrs[int(u2 * len(nbrs))]
         if ch.isupper():
             typo = typo.upper()
-        if splitmix64_u01([rk, np.uint64(i), st + np.uint64(2)]) < 0.1:
-            out.append(ch)
         out.append(typo)
+        if splitmix64_u01([rk, np.uint64(i), st + np.uint64(2)]) < include_original_probability:
+            out.append(ch)
     return "".join(out)
 
 

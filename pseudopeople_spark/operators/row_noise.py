@@ -18,29 +18,36 @@ from pseudopeople_spark.crn import hash_u01
 
 U01 = Callable[[Column, int, str], Column]
 
-# Demographic non-response model constants (reference
-# constants/data_values.py:8-45): base + race additive + sex×age-bin
-# additive, clipped to [0,1]. Ours are behavior-compatible stand-ins
-# with the same structure.
+# Demographic non-response model constants — the reference's published
+# values (constants/data_values.py:8-45): base + race additive +
+# sex×age-bin additive, clipped to [0,1]; CPS gets an overall +0.276
+# (noise_functions.py:124-126).
 DNR_BASE = 0.0024
 DNR_RACE_ADJ: "dict[str, float]" = {
-    "White": 0.0,
-    "Black": 0.0067,
-    "Latino": 0.0043,
-    "Asian": 0.0022,
-    "AIAN": 0.0086,
-    "NHOPI": 0.0086,
-    "Multiracial or Other": 0.0051,
+    "AIAN": 0.0067,
+    "Asian": -0.0286,
+    "Black": 0.0306,
+    "Latino": 0.0475,
+    "Multiracial or Other": 0.041,
+    "NHOPI": -0.0152,
+    "White": -0.0188,
 }
-# (sex, age_lo, age_hi_exclusive) -> additive
+# (sex, age_lo, age_hi_exclusive) -> additive; bins [0,5,10,18,30,50,125)
 DNR_SEX_AGE_ADJ: "list[tuple[str, int, int, float]]" = [
-    ("Male", 0, 5, 0.0091), ("Male", 5, 10, 0.0049), ("Male", 10, 18, 0.0022),
-    ("Male", 18, 30, 0.0152), ("Male", 30, 50, 0.0109), ("Male", 50, 65, 0.0068),
-    ("Male", 65, 200, 0.0022), ("Female", 0, 5, 0.0091), ("Female", 5, 10, 0.0049),
-    ("Female", 10, 18, 0.0022), ("Female", 18, 30, 0.0109), ("Female", 30, 50, 0.0086),
-    ("Female", 50, 65, 0.0049), ("Female", 65, 200, 0.0022),
+    ("Female", 0, 5, 0.0255), ("Female", 5, 10, -0.0014), ("Female", 10, 18, -0.0003),
+    ("Female", 18, 30, 0.0074), ("Female", 30, 50, -0.0034), ("Female", 50, 125, -0.0287),
+    ("Male", 0, 5, 0.0255), ("Male", 5, 10, -0.0014), ("Male", 10, 18, -0.0003),
+    ("Male", 18, 30, 0.0201), ("Male", 30, 50, 0.0281), ("Male", 50, 125, -0.0079),
 ]
 DNR_DEFAULT_LEVEL = 0.0145
+CPS_NONRESPONSE_ADDITIVE = 0.276  # noise_functions.py:124-126
+# Per-dataset defaults, used as both the baseline value and the scaling
+# denominator (data_values.py:41-45).
+DNR_DEFAULT_LEVELS: "dict[str, float]" = {
+    "decennial_census": 0.0145,
+    "american_community_survey": 0.0145,
+    "current_population_survey": 0.2905,
+}
 
 
 def omit_rows(
@@ -56,20 +63,23 @@ def do_not_respond(
     df: DataFrame,
     key_col: str,
     configured_level: float = DNR_DEFAULT_LEVEL,
+    default_level: float = DNR_DEFAULT_LEVEL,
     seed: int = 0,
     sex_col: str = "sex",
     age_col: str = "age",
     race_col: str = "race_ethnicity",
     oversample_adjust: bool = False,
+    cps_additive: float = 0.0,
     u01: U01 = hash_u01,
 ) -> DataFrame:
     """Demographic non-response (reference ``apply_do_not_respond``,
-    noise_functions.py:99-142): per-row probability = clip(base +
-    race additive + sex×age-bin additive), scaled by
-    configured/default; ACS/CPS oversampling transform 0.5 + p/2.
-    Realized as nested ``when`` chains over the tiny lookup tables —
-    pure JVM expressions, no join needed (the reference's pd.cut
-    age-binning collapses to a CASE chain)."""
+    noise_functions.py:99-142): per-row probability = clip_[0,1](base +
+    race additive + sex×age-bin additive) [+ 0.276 for CPS], scaled by
+    configured/default (default 0.0145 census/ACS, 0.2905 CPS); then the
+    ACS/CPS oversampling transform 0.5 + p/2. Realized as nested
+    ``when`` chains over the tiny lookup tables — pure JVM expressions,
+    no join needed (the reference's pd.cut age-binning collapses to a
+    CASE chain)."""
     race_expr: Column = F.lit(0.0)
     for race, adj in DNR_RACE_ADJ.items():
         race_expr = F.when(F.col(race_col) == race, F.lit(adj)).otherwise(race_expr)
@@ -80,7 +90,9 @@ def do_not_respond(
             (F.col(sex_col) == sex) & (age >= lo) & (age < hi), F.lit(adj)
         ).otherwise(sexage_expr)
     p = F.least(F.greatest(F.lit(DNR_BASE) + race_expr + sexage_expr, F.lit(0.0)), F.lit(1.0))
-    p = p * F.lit(configured_level / DNR_DEFAULT_LEVEL)
+    if cps_additive:
+        p = p + F.lit(cps_additive)
+    p = p * F.lit(configured_level / default_level)
     if oversample_adjust:
         p = F.lit(0.5) + p / 2
     p = F.least(p, F.lit(1.0))
@@ -97,10 +109,30 @@ def duplicate_rows(
     return df.unionByName(dupes)
 
 
+# Reference constants/noise_type_metadata.py:4-14 — the columns a
+# duplicate takes from its guardian's row (address block + housing type,
+# household id and year).
+GUARDIAN_DUPLICATION_ADDRESS_COLUMNS = [
+    "street_number", "street_name", "unit_number", "city", "state", "zipcode",
+    "housing_type", "household_id", "year",
+]
+# Reference constants/noise_type_metadata.py:34-42 — the duplicated
+# row's relationship is remapped from the (copied) guardian housing type.
+HOUSING_TYPE_RELATIONSHIP_MAP = {
+    "Carceral": "Institutionalized group quarters population",
+    "Nursing home": "Institutionalized group quarters population",
+    "Other institutional": "Institutionalized group quarters population",
+    "College": "Noninstitutionalized group quarters population",
+    "Military": "Noninstitutionalized group quarters population",
+    "Other noninstitutional": "Noninstitutionalized group quarters population",
+    "Household": "Other relative",
+}
+
+
 def duplicate_with_guardian(
     df: DataFrame,
     key_col: str,
-    address_columns: Sequence[str],
+    address_columns: Sequence[str] = None,
     p_under_18: float = 0.02,
     p_college: float = 0.05,
     seed: int = 0,
@@ -109,66 +141,116 @@ def duplicate_with_guardian(
     age_col: str = "age",
     housing_col: str = "housing_type",
     relationship_col: str = "relationship_to_reference_person",
+    household_col: str = "household_id",
+    year_col: str = "year",
     u01: U01 = hash_u01,
-    guardians_unique: bool = True,
 ) -> DataFrame:
     """Duplicate dependents at their guardian's address (reference
-    ``duplicate_with_guardian``, noise_functions.py:161-303; address
+    ``duplicate_with_guardian``, noise_functions.py:161-303; copied
     column list constants/noise_type_metadata.py:4-14).
 
-    Eligible: age<18 in standard housing (p_under_18) or age<24 in
-    college group quarters (p_college), with at least one guardian at a
-    DIFFERENT address. The duplicate row takes the guardian's address
-    block; at most one duplicate per row; duplicates are appended.
+    Reference semantics reproduced exactly:
+      * eligible groups — age<18 with housing_type=='Household'
+        (p_under_18) and age<24 with housing_type=='College'
+        (p_college), guardian_1 non-null in both;
+      * guardians are joined on ``(guardian_k, year)`` — multi-year
+        extracts match the guardian's SAME-year row
+        (noise_functions.py:189-207);
+      * "lives elsewhere" = guardian's household_id differs
+        (noise_functions.py:243-248);
+      * when BOTH guardians live elsewhere the copied guardian is a
+        seeded 50/50 choice, otherwise the one that differs;
+      * the duplicate takes the guardian's address block + housing type
+        + household id (+year, a join-key no-op) and its
+        ``relationship_to_reference_person`` is remapped from the
+        COPIED housing type (noise_type_metadata.py:34-42);
+      * max one duplicate per row; duplicates are appended.
 
-    Plan shape: filter → seeded guardian choice → ONE left equi-join
-    against the guardian address projection (broadcast when small,
-    sort-merge otherwise — the reference's only join, SURVEY.md §2.A)
-    → unionByName. Join key is (guardian simulant_id), so AQE handles
-    skew; no driver-side loops."""
+    Plan shape: filter → TWO left equi-joins against the guardian
+    projection (broadcast when small, AQE otherwise) → seeded choice →
+    ``unionByName``. No driver-side loops."""
+    cols = df.columns
+    copy_cols = [c for c in (address_columns or GUARDIAN_DUPLICATION_ADDRESS_COLUMNS) if c in cols]
     g1, g2 = guardian_cols
     age = F.col(age_col).cast("bigint")
-    in_college = F.col(housing_col) == "College" if housing_col in df.columns else F.lit(False)
-    eligible = (age < 18) & ~in_college
-    eligible_col = (age < 24) & in_college
-    p_row = F.when(eligible_col, F.lit(p_college)).when(eligible, F.lit(p_under_18)).otherwise(F.lit(0.0))
-    selected = df.where(u01(F.col(key_col), seed, "duplicate_with_guardian") < p_row)
+    housing = F.col(housing_col) if housing_col in cols else F.lit("Household")
+    in_household = (age < 18) & (housing == "Household")
+    in_college = (age < 24) & (housing == "College")
+    dependents = df.where((in_household | in_college) & F.col(g1).isNotNull())
 
-    # choose among available guardians with one CRN draw
-    u_g = u01(F.col(key_col), seed, "dwg_guardian_choice")
-    chosen = F.when(
-        F.col(g1).isNotNull() & F.col(g2).isNotNull(), F.when(u_g < 0.5, F.col(g1)).otherwise(F.col(g2))
-    ).otherwise(F.coalesce(F.col(g1), F.col(g2)))
-    selected = selected.withColumn("_chosen_guardian", chosen).where(F.col("_chosen_guardian").isNotNull())
-
+    has_year = year_col in cols
+    has_hh = household_col in cols
+    # the guardian's household id rides along for the "lives elsewhere"
+    # test even when the caller copies a narrower column list
+    side_cols = [household_col] if (has_hh and household_col not in copy_cols) else []
+    # year is the join key — its alias already carries it, and "copying"
+    # it is a no-op (join equality), so keep it out of the copy list
+    proj_cols = [c for c in copy_cols + side_cols if c != year_col]
     guardians = df.select(
         F.col(simulant_col).alias("_g_sid"),
-        *[F.col(c).alias(f"_g_{c}") for c in address_columns],
+        *([F.col(year_col).alias("_g_year")] if has_year else []),
+        *[F.col(c).alias(f"_g_{c}") for c in proj_cols],
     )
-    if not guardians_unique:
-        # only shuffle for dedup when the extract may repeat a simulant
-        guardians = guardians.dropDuplicates(["_g_sid"])
+    # A guardian appears once per (simulant, year) in a well-formed
+    # extract; dedup defensively so one dependent row can't fan out.
+    guardians = guardians.dropDuplicates(["_g_sid"] + (["_g_year"] if has_year else []))
 
-    # The selected side is p% of dependents — small relative to the
-    # guardian projection; AQE turns this into a broadcast join at any
-    # realistic p, and a shuffled hash join otherwise.
-    joined = selected.join(guardians, selected["_chosen_guardian"] == guardians["_g_sid"], "inner")
-    # keep only duplicates whose guardian lives at a different address
-    diff_addr = None
-    for c in address_columns:
-        neq = ~F.col(c).eqNullSafe(F.col(f"_g_{c}"))
-        diff_addr = neq if diff_addr is None else (diff_addr | neq)
-    joined = joined.where(diff_addr)
+    def join_one(base: DataFrame, gcol: str, prefix: str) -> DataFrame:
+        g = guardians.select(
+            F.col("_g_sid").alias(f"{prefix}_sid"),
+            *([F.col("_g_year").alias(f"{prefix}_year")] if has_year else []),
+            *[F.col(f"_g_{c}").alias(f"{prefix}_{c}") for c in proj_cols],
+        )
+        cond = base[gcol] == g[f"{prefix}_sid"]
+        if has_year:
+            cond = cond & (base[year_col] == g[f"{prefix}_year"])
+        return base.join(g, cond, "left")
+
+    merged = join_one(join_one(dependents, g1, "_g1"), g2, "_g2")
+
+    if has_hh:
+        def differs(prefix: str):
+            gh = F.col(f"{prefix}_{household_col}")
+            return gh.isNotNull() & (F.col(household_col) != gh)
+    else:  # fallback when the extract carries no household id: any copied column differs
+        def differs(prefix: str):
+            any_neq = F.lit(False)
+            for c in copy_cols:
+                any_neq = any_neq | ~F.col(c).eqNullSafe(F.col(f"{prefix}_{c}"))
+            return F.col(f"{prefix}_sid").isNotNull() & any_neq
+
+    g1_diff, g2_diff = differs("_g1"), differs("_g2")
+    u_choice = u01(F.col(key_col), seed, "dwg_guardian_choice")
+    chosen = (
+        F.when(g1_diff & g2_diff, F.when(u_choice < 0.5, F.lit("_g1")).otherwise(F.lit("_g2")))
+        .when(g1_diff, F.lit("_g1"))
+        .when(g2_diff, F.lit("_g2"))
+    )
+    p_row = F.when(in_college, F.lit(p_college)).otherwise(F.lit(p_under_18))
+    # per-group decision keys, like the reference's per-group streams
+    u_noise = F.when(
+        in_college, u01(F.col(key_col), seed, "duplicate_with_guardian_college")
+    ).otherwise(u01(F.col(key_col), seed, "duplicate_with_guardian_households"))
+    selected = merged.withColumn("_copy_from", chosen).where(
+        F.col("_copy_from").isNotNull() & (u_noise < p_row)
+    )
+
+    def copied(c: str):
+        return F.when(F.col("_copy_from") == "_g1", F.col(f"_g1_{c}")).otherwise(F.col(f"_g2_{c}"))
 
     dup_cols = []
-    for c in df.columns:
-        if c in address_columns:
-            dup_cols.append(F.col(f"_g_{c}").alias(c))
-        elif c == relationship_col and relationship_col in df.columns:
-            dup_cols.append(F.lit("Other relative").alias(c))
+    for c in cols:
+        if c == relationship_col:
+            src_housing = copied(housing_col) if housing_col in copy_cols else housing
+            remap = F.lit(None).cast("string")
+            for ht, rel in HOUSING_TYPE_RELATIONSHIP_MAP.items():
+                remap = F.when(src_housing == ht, F.lit(rel)).otherwise(remap)
+            dup_cols.append(remap.alias(c))
+        elif c in copy_cols:
+            dup_cols.append(copied(c).alias(c))
         elif c == key_col:
             dup_cols.append(F.concat(F.col(key_col).cast("string"), F.lit("_dup")).alias(c))
         else:
             dup_cols.append(F.col(c))
-    duplicates = joined.select(*dup_cols)
+    duplicates = selected.select(*dup_cols)
     return df.unionByName(duplicates)

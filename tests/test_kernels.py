@@ -62,7 +62,9 @@ def test_typos_udf_case_and_insert(spark):
 
     udf_ins = make_typos_udf({"q": "w"}, token_probability=1.0, include_original_probability=1.0, seed=3)
     row = df.limit(1).withColumn("o", udf_ins("k", "m", "v")).first()["o"]
-    assert row == "QWQWQWQWQW"  # original kept + typo inserted
+    # reference emits the TYPO first, then the kept original
+    # (noise_functions.py:740-755: position gets the typo, original appended)
+    assert row == "WQWQWQWQWQ"
 
 
 def test_apply_token_noise_plan_determinism_across_partitions(spark):
