@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pseudopeople_spark.crn import portable_u01, portable_u01_sql
+from pseudopeople_spark.functions import portable as PT
 from pseudopeople_spark.functions.similarity import jaro_winkler_udf
 from pseudopeople_spark.linkage.clustering import connected_components
 from pseudopeople_spark.operators import column_noise as cn
@@ -545,34 +546,77 @@ def dedup_exact(spark, sf_dir):
     )
 
 
-@_q(
-    "dedup_char_jaccard",
-    """SELECT l.doc_id AS id_l, r.doc_id AS id_r,
-              round(jaccard(l.text, r.text), 6) AS sim
-       FROM documents l JOIN documents r
-         ON l.lang = r.lang AND (l.n_chars // 200) = (r.n_chars // 200)
-       WHERE l.doc_id < r.doc_id AND jaccard(l.text, r.text) >= 0.98""",
-)
+_DCJ_CAP = 150  # max block size for the quadratic join
+_DCJ_SWEEP = 8  # linear-sweep window inside oversized blocks
+
+
+def _dedup_char_jaccard_oracle() -> str:
+    over = "OVER (PARTITION BY lang, bucket ORDER BY doc_id)"
+    sweeps = " UNION ALL ".join(
+        f"""SELECT doc_id AS a, lead(doc_id, {k}) {over} AS b,
+                   text AS ta, lead(text, {k}) {over} AS tb
+            FROM big"""
+        for k in range(1, _DCJ_SWEEP + 1)
+    )
+    return f"""WITH d AS (SELECT doc_id, lang, text, n_chars // 200 AS bucket FROM documents),
+       sz AS (SELECT lang, bucket, count(*) AS bs FROM d GROUP BY lang, bucket),
+       db AS (SELECT d.*, sz.bs FROM d JOIN sz USING (lang, bucket)),
+       big AS (SELECT * FROM db WHERE bs > {_DCJ_CAP}),
+       quad AS (SELECT l.doc_id AS id_l, r.doc_id AS id_r, l.text AS tl, r.text AS tr
+                FROM db l JOIN db r ON l.lang = r.lang AND l.bucket = r.bucket
+                WHERE l.bs <= {_DCJ_CAP} AND l.doc_id < r.doc_id),
+       sweep AS (SELECT least(a, b) AS id_l, greatest(a, b) AS id_r, ta AS tl, tb AS tr
+                 FROM ({sweeps}) WHERE b IS NOT NULL),
+       pairs AS (SELECT * FROM quad UNION ALL SELECT * FROM sweep)
+       SELECT id_l, id_r, round(jaccard(tl, tr), 6) AS sim
+       FROM pairs WHERE jaccard(tl, tr) >= 0.98"""
+
+
+@_q("dedup_char_jaccard", _dedup_char_jaccard_oracle())
 def dedup_char_jaccard(spark, sf_dir):
     """Near-dup detection: character-set Jaccard (DuckDB ``jaccard``
     semantics) over (lang, length-bucket) blocks — pure Spark array ops,
-    no UDF."""
+    no UDF. Blocks are CAPPED: up to {cap} docs a block gets the full
+    quadratic self-join; larger blocks degrade to a linear sorted sweep
+    (lead(k), k<=8) so one hot (lang, length) bucket can never explode
+    n^2 at 100 TB (the pairs_from_blocks cap-and-sweep pattern,
+    linkage/pairs.py:27-59). The oracle replays cap + sweep exactly."""
+    # char set computed ONCE per doc (scan side), not per candidate pair
     d = _t(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "text",
-        F.floor(F.col("n_chars") / 200).alias("bucket"),
+        "doc_id", "lang", F.floor(F.col("n_chars") / 200).alias("bucket"),
         F.array_distinct(F.split("text", "")).alias("chars"),
     )
-    l = d.alias("l")
-    r = d.alias("r")
-    inter = F.size(F.array_intersect(F.col("l.chars"), F.col("r.chars")))
-    union = F.size(F.array_union(F.col("l.chars"), F.col("r.chars")))
-    sim = inter.cast("double") / union
-    return (
+    sizes = d.groupBy("lang", "bucket").agg(F.count("*").alias("bs"))
+    db = d.join(sizes, ["lang", "bucket"])
+
+    small = db.where(F.col("bs") <= _DCJ_CAP)
+    l, r = small.alias("l"), small.alias("r")
+    quad = (
         l.join(r, (F.col("l.lang") == F.col("r.lang")) & (F.col("l.bucket") == F.col("r.bucket")))
         .where(F.col("l.doc_id") < F.col("r.doc_id"))
-        .where(sim >= 0.98)
-        .select(F.col("l.doc_id").alias("id_l"), F.col("r.doc_id").alias("id_r"), F.round(sim, 6).alias("sim"))
+        .select(
+            F.col("l.doc_id").alias("id_l"), F.col("r.doc_id").alias("id_r"),
+            F.col("l.chars").alias("cl"), F.col("r.chars").alias("cr"),
+        )
     )
+    big = db.where(F.col("bs") > _DCJ_CAP)
+    w = Window.partitionBy("lang", "bucket").orderBy("doc_id")
+    sweep = None
+    for k in range(1, _DCJ_SWEEP + 1):
+        nxt = big.select(
+            F.col("doc_id").alias("a"), F.lead("doc_id", k).over(w).alias("b"),
+            F.col("chars").alias("ca"), F.lead("chars", k).over(w).alias("cb"),
+        ).where(F.col("b").isNotNull())
+        sweep = nxt if sweep is None else sweep.unionByName(nxt)
+    sweep = sweep.select(
+        F.least("a", "b").alias("id_l"), F.greatest("a", "b").alias("id_r"),
+        F.col("ca").alias("cl"), F.col("cb").alias("cr"),
+    )
+    pairs = quad.unionByName(sweep)
+    inter = F.size(F.array_intersect(F.col("cl"), F.col("cr")))
+    union = F.size(F.array_union(F.col("cl"), F.col("cr")))
+    pairs = pairs.withColumn("sim", inter.cast("double") / union)
+    return pairs.where(F.col("sim") >= 0.98).select("id_l", "id_r", F.round("sim", 6).alias("sim"))
 
 
 @_q(
@@ -761,52 +805,57 @@ def streaming_window_agg(spark, sf_dir):
     )
 
 
-@_q("simhash_near_dups")
+@_q("simhash_near_dups", PT.simhash_near_dups_sql(PT.DUCKDB, max_hamming=3))
 def simhash_near_dups_query(spark, sf_dir):
-    """SimHash banding + Hamming verification near-dup pairs (Arrow UDF
-    signature, banding join — rows-only: 64-bit simhash has no DuckDB
-    equivalent)."""
-    from pseudopeople_spark.functions.textdedup import simhash_near_dups
+    """SimHash near-dup pairs with PIGEONHOLE-COMPLETE banding
+    (bands = max_hamming + 1, so every pair within the Hamming bound
+    shares a band) + exact bit_count(xor) verification. The portable
+    30-bit signature (affine-permutation hyperplanes over rolling token
+    hashes, functions/portable.py) computes identically in DuckDB — the
+    oracle replays the whole pipeline value-exact. The signature is
+    materialized once before the banding self-join (Spark would inline
+    a CTE into every band branch)."""
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    sigs = spark.sql(PT.simhash_sigs_relation_sql(PT.SPARK)).localCheckpoint()
+    sigs.createOrReplaceTempView("simhash_sigs")
+    return spark.sql(PT.simhash_pairs_from_sigs_sql(PT.SPARK, "simhash_sigs", max_hamming=3))
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", F.substring("text", 1, 200).alias("text"))
-    return simhash_near_dups(d, max_hamming=6)
 
-
-@_q("ann_ivf_topk")
+@_q("ann_ivf_topk", PT.ann_lsh_topk_sql(PT.DUCKDB))
 def ann_ivf_topk_query(spark, sf_dir):
-    """IVF-bucketed ANN (sample-trained centroids, nprobe bucket probe)
-    — the scale path whose exact-recall baseline is ann_cosine_topk."""
-    from pseudopeople_spark.functions.ann import ivf_topk
+    """Inverted-file ANN over signed-random-projection buckets: 4
+    deterministic hyperplanes (integer-mixed weights, identical doubles
+    in both engines) -> 16 buckets; queries probe their own bucket plus
+    the 4 Hamming-1 flips, so candidates shrink to ~5/16 of the corpus
+    while the oracle replays the EXACT same top-k in DuckDB. The
+    k-means-trained IVF variant (functions/ann.py) is the adaptive
+    scale path, pytest-verified for recall vs brute force and
+    partition invariance."""
+    _t(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(PT.ann_lsh_topk_sql(PT.SPARK))
 
-    e = _t(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") < 5)
-    return ivf_topk(e, q, k=10, n_buckets=8, nprobe=4)
 
-
-# Spark-only operators: no portable SQL equivalent -> rows-only check
-@_q("soundex_blocks")
+@_q("soundex_blocks", PT.soundex_blocks_sql(PT.DUCKDB))
 def soundex_blocks(spark, sf_dir):
-    """Phonetic block-key histogram (Spark built-in soundex; DuckDB has
-    no soundex -> rows-only)."""
-    p = _t(spark, sf_dir, "part")
-    key = F.soundex(F.upper(F.element_at(F.split("p_name", " "), 1)))
-    return (
-        p.select(key.alias("block_key"))
-        .groupBy("block_key")
-        .agg(F.count("*").alias("n"))
-    )
+    """Phonetic block-key histogram. Soundex built portably (translate
+    + replace-cascade collapse, functions/portable.py) so the DuckDB
+    oracle — which has no soundex builtin — evaluates the identical
+    expression."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(PT.soundex_blocks_sql(PT.SPARK))
 
 
-@_q("minhash_bands")
+@_q("minhash_bands", PT.minhash_bands_sql(PT.DUCKDB))
 def minhash_bands(spark, sf_dir):
-    """MinHash-LSH banding over document-text shingles (xxhash64-based,
-    not expressible in DuckDB -> rows-only): emits (band_key, doc_id)."""
-    from pseudopeople_spark.linkage.blocking import minhash_blocks
-
-    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("string").alias("record_id"), "text")
-    return minhash_blocks(d, F.substring("text", 1, 80), bands=4, rows_per_band=2).select(
-        "block_key", "record_id"
-    )
+    """MinHash-LSH banding over 5-char document shingles: rolling-hash
+    shingles, affine-permutation hash family, min per row, 2 rows per
+    band key — pure scan-side expressions (the banding equi-join is the
+    only shuffle; the 100 TB LSH shape). Portable arithmetic -> the
+    DuckDB oracle replays it value-exact. The ER pipeline's own
+    xxhash64 variant lives in linkage/blocking.py (faster JVM hash,
+    same shape)."""
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(PT.minhash_bands_sql(PT.SPARK))
 
 
 def queries() -> "dict[str, Callable[[SparkSession, str], DataFrame]]":

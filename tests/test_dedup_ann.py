@@ -81,3 +81,74 @@ def test_streaming_noise_matches_batch(spark, tmp_path):
     batch = batch.where(~F.col("record_id").endswith("_dup"))
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_simhash_banding_recall_guarantee(spark):
+    """Pigeonhole completeness: with uncapped buckets, EVERY pair within
+    max_hamming must be found — verified against a brute-force cross
+    join of the signatures (the round-1 fixed-4-band version lost pairs
+    at Hamming 4-6)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.substring("text", 1, 120).alias("text")
+    ).limit(200)
+    for h in (3, 6):
+        pairs = simhash_near_dups(docs, max_hamming=h, max_bucket_size=None)
+        got = {(r["id_l"], r["id_r"]) for r in pairs.collect()}
+        sigs = docs.select("doc_id", simhash64_udf("text").alias("s"))
+        l, r = sigs.alias("l"), sigs.alias("r")
+        brute = (
+            l.crossJoin(r)
+            .where(F.col("l.doc_id") < F.col("r.doc_id"))
+            .where(F.bit_count(F.col("l.s").bitwiseXOR(F.col("r.s"))) <= h)
+            .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        )
+        want = {(r["a"], r["b"]) for r in brute.collect()}
+        assert got == want, f"h={h}: missed {len(want - got)}, extra {len(got - want)}"
+
+
+def test_simhash_bucket_cap_linearizes_hot_buckets(spark):
+    """A degenerate corpus (every doc identical -> one band bucket)
+    must produce O(n * window) pairs under the cap, not n^2/2."""
+    n = 400
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("same same same text").alias("text")
+    )
+    capped = simhash_near_dups(docs, max_hamming=3, max_bucket_size=50).count()
+    assert capped <= n * 3 * 4  # <= window(3) x bands(4) per doc
+    uncapped = simhash_near_dups(docs, max_hamming=3, max_bucket_size=None).count()
+    assert uncapped == n * (n - 1) // 2
+
+
+def test_dedup_char_jaccard_block_cap(spark, tmp_path):
+    """One oversized (lang, length-bucket) block must yield linear
+    sweep pairs, never the quadratic join (the 100 TB straggler
+    guard)."""
+    import __spark_entry__ as E
+
+    n = 400
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("aaaa bbbb cccc dddd").alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("web").alias("source"),
+        F.lit(19).cast("int").alias("n_chars"),
+    )
+    sf = str(tmp_path / "sf")
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = E.queries()["dedup_char_jaccard"](spark, sf)
+    cnt = out.count()
+    assert 0 < cnt <= n * 8, f"expected <= n*sweep_window pairs, got {cnt}"
+
+
+def test_ivf_centroids_partition_invariant(spark):
+    """Deterministic (hash-sampled, id-ordered) training: identical
+    centroids at 2 vs 29 partitions — the fix for the round-1
+    nondeterministic limit() sample."""
+    import numpy as np
+
+    from pseudopeople_spark.functions.ann import train_ivf_centroids
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    c1 = train_ivf_centroids(e.repartition(2), k=8, sample_limit=300, seed=7)
+    c2 = train_ivf_centroids(e.repartition(29), k=8, sample_limit=300, seed=7)
+    assert np.array_equal(c1, c2)
