@@ -38,7 +38,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from pseudopeople_spark.crn import splitmix64_u01
+from pseudopeople_spark.crn import key64, splitmix64_u01
 
 
 def _corrupt_tokens_one(
@@ -214,76 +214,66 @@ def apply_token_noise_all_columns(
     column_plans: "list[tuple[str, list[tuple[str, Mapping, float, float]]]]",
     key_col: str,
     seed: int = 0,
-    u01: Callable = None,
+    u01: Callable = None,  # kept for signature compat; masks are in-kernel CRN
 ):
     """Apply token noise to MANY columns through ONE pandas UDF call —
     a single Arrow crossing for the whole dataset instead of one per
-    column (the per-column variant measured 78s/1M rows on census; this
-    one ~1/5 of that: Arrow serialization, not Python compute, is the
-    fixed cost).
+    column.
 
     column_plans: [(column, [(kind, rules, cell_p, token_p), ...]), ...]
-    Masks and the per-(column, record) int64 keys stay JVM-side CRN.
-    """
-    from pseudopeople_spark.crn import hash_u01
 
-    u01 = u01 or hash_u01
-    prepared = []  # per column: (name, [(kind_tag, rules, tp, salt, max_len), ...])
-    args = []
-    schema_fields = []
+    Arrow payload is the hot-path cost at 100 TB, so it is minimal by
+    construction: ONE int64 CRN key + the token-noised value columns in,
+    one struct of those columns out. Cell-selection masks and
+    per-column key mixing are derived INSIDE the kernel from the key
+    via vectorized splitmix64 (numpy, no per-row Python until a cell is
+    actually selected) — shipping JVM-side mask columns tripled the
+    crossing for data the kernel can recompute from 8 bytes/row. Draws
+    stay keyed by (record key, column salt): deterministic, partition-
+    invariant, same CRN contract as the JVM expressions."""
+    prepared = []  # per column: (name, [(kind_tag, rules, tp, cp, mask_salt, tok_salt, max_len)])
     for column, plan in column_plans:
         specs = []
-        mask_cols = []
         for kind, rules, cp, tp in plan:
             decision = f"{kind}_{column}"
+            mask_salt = _salt(seed, f"mask_{decision}")
+            tok_salt = _salt(seed, decision)
             if kind == "make_typos":
-                specs.append(("typo", {k: str(v) for k, v in rules.items()}, tp, _salt(seed, decision), 1))
+                specs.append(("typo", {k: str(v) for k, v in rules.items()}, tp, cp, mask_salt, tok_salt, 1))
             else:
                 frozen = {k: tuple(v) for k, v in rules.items()}
-                specs.append(("tok", frozen, tp, _salt(seed, decision), max(len(k) for k in frozen)))
-            mask_cols.append(
-                F.col(column).isNotNull()
-                & (F.col(column).cast("string") != "")
-                & (u01(F.col(key_col), seed, decision) < cp)
-            )
+                specs.append(("tok", frozen, tp, cp, mask_salt, tok_salt, max(len(k) for k in frozen)))
         prepared.append((column, specs))
-        key64 = F.xxhash64(F.lit(str(seed)), F.lit(f"tok_{column}"), F.col(key_col).cast("string"))
-        args.append(key64)
-        args.append(F.col(column))
-        args.extend(mask_cols)
-        schema_fields.append(T.StructField(column, T.StringType()))
 
-    n_specs = {c: len(s) for c, s in prepared}
+    schema_fields = [T.StructField(c, T.StringType()) for c, _ in column_plans]
 
     @F.pandas_udf(T.StructType(schema_fields))
-    def noise_all(*cols: pd.Series) -> pd.DataFrame:
+    def noise_all(key: pd.Series, *cols: pd.Series) -> pd.DataFrame:
+        keys = key.to_numpy(dtype=np.int64).astype(np.uint64)
         out = {}
-        i = 0
-        for column, specs in prepared:
-            key = cols[i]
-            val = cols[i + 1]
-            masks = cols[i + 2 : i + 2 + len(specs)]
-            i += 2 + len(specs)
+        for (column, specs), val in zip(prepared, cols):
             vals = val.to_numpy(dtype=object)
-            keys = key.to_numpy(dtype=np.int64).astype(np.uint64)
-            notna = val.notna().to_numpy(dtype=bool)
-            for spec, mask in zip(specs, masks):
-                kind, rules, tp, salt, mx = spec
-                sel = mask.fillna(False).to_numpy(dtype=bool) & notna
+            eligible = val.notna().to_numpy(dtype=bool) & (vals != "")
+            for kind, rules, tp, cp, mask_salt, tok_salt, mx in specs:
+                # vectorized CRN mask — O(rows) hashing, O(cp·rows) Python
+                sel = eligible & (splitmix64_u01([keys, np.uint64(mask_salt)]) < cp)
                 idx = np.nonzero(sel)[0]
                 if len(idx) == 0:
                     continue
+                # per-column row key: mix the record key with the column salt
+                col_keys = key64([keys[idx], np.uint64(tok_salt)])
                 if kind == "typo":
-                    for j in idx:
-                        vals[j] = _typo_one_impl(str(vals[j]), int(keys[j]), rules, tp, salt)
+                    for n, j in enumerate(idx):
+                        vals[j] = _typo_one_impl(str(vals[j]), int(col_keys[n]), rules, tp, tok_salt)
                 else:
-                    for j in idx:
-                        vals[j] = _corrupt_tokens_one(str(vals[j]), int(keys[j]), salt, rules, mx, tp)
+                    for n, j in enumerate(idx):
+                        vals[j] = _corrupt_tokens_one(str(vals[j]), int(col_keys[n]), tok_salt, rules, mx, tp)
             out[column] = pd.Series(vals, index=val.index, dtype=object)
         return pd.DataFrame(out)
 
-    assert n_specs  # non-empty plan
-    struct_col = noise_all(*args)
+    assert prepared  # non-empty plan
+    key_expr = F.xxhash64(F.lit(str(seed)), F.lit("tok_all"), F.col(key_col).cast("string"))
+    struct_col = noise_all(key_expr, *[F.col(c) for c, _ in column_plans])
     tmp = "__tok_noise"
     df = df.withColumn(tmp, struct_col)
     for column, _ in column_plans:
