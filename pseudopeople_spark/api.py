@@ -26,12 +26,98 @@ from pseudopeople_spark.config import NO_NOISE, get_config  # noqa: F401 (re-exp
 DEFAULT_POPULATION = 10_000
 
 
-def _population(spark: SparkSession, source: "DataFrame | str | None", n: int, seed: int) -> DataFrame:
-    if isinstance(source, DataFrame):
-        return source
+# columns that are integers in raw input but strings in output, without
+# a trailing .0 (reference constants/noise_type_metadata.py:31)
+INT_TO_STRING_COLUMNS = ("age", "wages", "mailing_address_po_box")
+
+# raw-input datetime columns (reference dtypes.py / schema_entities.py).
+# pseudopeople writes parquet TIMESTAMP(NANOS) (pandas datetime64[ns]),
+# which Spark only reads via the nanosAsLong flag — these columns come
+# back as int64 nanoseconds and are converted explicitly.
+DATETIME_COLUMNS = ("date_of_birth", "copy_date_of_birth", "survey_date", "event_date")
+
+
+def _ingest_extract(df: DataFrame, spec: D.DatasetSpec, year: "int | None") -> DataFrame:
+    """Prep a RAW dataset extract (e.g. the reference's shipped sample
+    parquet) for the noise plan — the reference's load path
+    (``interface.py:223-293``): timestamp dates -> per-dataset string
+    format (zero-padded by ``date_format``), int columns -> strings
+    without '.0', '' -> null, year predicate pushed to the scan, and a
+    STABLE record key for CRN (the pandas ``__index_level_0__`` the
+    reference itself keys randomness on, else (simulant, date) which is
+    unique per extract row). Shadow ``copy_*`` / guardian columns ride
+    along for the join-bearing noise operators."""
+    import pyspark.sql.types as T
+
+    cols = set(df.columns)
+    # ---- nanosecond timestamps (read as int64 via nanosAsLong) -> timestamp
+    for name in DATETIME_COLUMNS:
+        if name in cols and isinstance(df.schema[name].dataType, T.LongType):
+            df = df.withColumn(name, F.timestamp_micros((F.col(name) / 1000).cast("bigint")))
+
+    # ---- stable record id
+    if "__index_level_0__" in cols:
+        df = df.withColumn("record_id", F.col("__index_level_0__").cast("string"))
+        df = df.drop("__index_level_0__")
+    elif "simulant_id" in cols and spec.date_column in cols:
+        df = df.withColumn(
+            "record_id", F.concat_ws("_", F.lit(spec.name), "simulant_id", spec.date_column)
+        )
+    else:
+        df = df.withColumn("record_id", F.xxhash64(*sorted(cols)).cast("string"))
+
+    # ---- year predicate (pushed down by Catalyst when source is a scan);
+    # SSA takes every event up to Dec 31 of `year` (interface.py:886-898),
+    # the others are within-year extracts
+    if year is not None and spec.date_column in cols:
+        dc = df.schema[spec.date_column].dataType
+        y = (
+            F.year(spec.date_column)
+            if isinstance(dc, (T.DateType, T.TimestampType))
+            else F.col(spec.date_column).cast("bigint")
+        )
+        df = df.where(y <= year if spec.name == "social_security" else y == year)
+
+    # ---- dtype prep per column
+    for field in df.schema.fields:
+        name = field.name
+        if isinstance(field.dataType, (T.DateType, T.TimestampType)):
+            df = df.withColumn(name, F.date_format(name, spec.date_format))
+        elif name in INT_TO_STRING_COLUMNS or (name.startswith("copy_") and name.endswith("age")):
+            df = df.withColumn(name, F.col(name).cast("bigint").cast("string"))
+        elif isinstance(field.dataType, T.StringType):
+            df = df.withColumn(name, F.when(F.col(name) == "", None).otherwise(F.col(name)))
+    return df
+
+
+def _source_records(
+    spark: SparkSession,
+    source: "DataFrame | str | None",
+    spec: D.DatasetSpec,
+    synth_records,
+    n: int,
+    seed: int,
+    year: "int | None",
+) -> DataFrame:
+    """Resolve the input: a raw extract (path or DataFrame with the
+    dataset's own schema) goes through :func:`_ingest_extract`; a
+    simulant population (ours carries the ``sid`` column) or no source
+    goes through the deterministic synthesizer."""
+    df = None
     if isinstance(source, str):
-        return spark.read.parquet(source)
-    return synth.simulants(spark, n, seed=seed)
+        import os
+
+        # pseudopeople's own files carry TIMESTAMP(NANOS); read them as
+        # int64 (converted in _ingest_extract) instead of erroring
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        sub = os.path.join(source, spec.name)
+        df = spark.read.parquet(sub if os.path.isdir(sub) else source)
+    elif isinstance(source, DataFrame):
+        df = source
+    if df is not None and "sid" not in df.columns:
+        return _ingest_extract(df, spec, year)
+    pop = df if df is not None else synth.simulants(spark, n, seed=seed)
+    return synth_records(pop)
 
 
 def _finish(
@@ -48,11 +134,15 @@ def _finish(
                 break
     # `config` is user OVERRIDES, ALWAYS merged onto the baseline (the
     # reference's get_configuration always layers user config over
-    # defaults, configuration/generator.py:83-157). The only value used
-    # verbatim is the NO_NOISE sentinel, detected by IDENTITY — a user
-    # override that happens to look like {dataset: {column_noise: ...}}
-    # must still be merged, not swallowed whole.
-    cfg = config if config is NO_NOISE else get_config(config)
+    # defaults, configuration/generator.py:83-157). The only values used
+    # verbatim are the NO_NOISE sentinels — ours by IDENTITY, plus the
+    # reference's literal "no_noise" string (configuration/entities.py:17)
+    # — a user override that happens to look like
+    # {dataset: {column_noise: ...}} must still be merged, not swallowed.
+    if config is NO_NOISE or (isinstance(config, str) and config == "no_noise"):
+        cfg = NO_NOISE
+    else:
+        cfg = get_config(config)
     return N.noise_dataset(df, spec, cfg, seed=seed)
 
 
@@ -66,8 +156,10 @@ def generate_decennial_census(
     population: int = DEFAULT_POPULATION,
 ) -> DataFrame:
     """Reference: ``interface.py:303-391``."""
-    pop = _population(spark, source, population, seed)
-    return _finish(synth.census_records(pop, year, seed=seed), D.DECENNIAL_CENSUS, config, seed, state)
+    recs = _source_records(spark, source, D.DECENNIAL_CENSUS,
+                           lambda pop: synth.census_records(pop, year, seed=seed),
+                           population, seed, year)
+    return _finish(recs, D.DECENNIAL_CENSUS, config, seed, state)
 
 
 def generate_american_community_survey(
@@ -80,8 +172,10 @@ def generate_american_community_survey(
     population: int = DEFAULT_POPULATION,
 ) -> DataFrame:
     """Reference: ``interface.py:394-503``."""
-    pop = _population(spark, source, population, seed)
-    return _finish(synth.acs_records(pop, year, seed=seed), D.AMERICAN_COMMUNITY_SURVEY, config, seed, state)
+    recs = _source_records(spark, source, D.AMERICAN_COMMUNITY_SURVEY,
+                           lambda pop: synth.acs_records(pop, year, seed=seed),
+                           population, seed, year)
+    return _finish(recs, D.AMERICAN_COMMUNITY_SURVEY, config, seed, state)
 
 
 def generate_current_population_survey(
@@ -94,8 +188,10 @@ def generate_current_population_survey(
     population: int = DEFAULT_POPULATION,
 ) -> DataFrame:
     """Reference: ``interface.py:506-619``."""
-    pop = _population(spark, source, population, seed)
-    return _finish(synth.cps_records(pop, year, seed=seed), D.CURRENT_POPULATION_SURVEY, config, seed, state)
+    recs = _source_records(spark, source, D.CURRENT_POPULATION_SURVEY,
+                           lambda pop: synth.cps_records(pop, year, seed=seed),
+                           population, seed, year)
+    return _finish(recs, D.CURRENT_POPULATION_SURVEY, config, seed, state)
 
 
 def generate_women_infants_and_children(
@@ -108,8 +204,10 @@ def generate_women_infants_and_children(
     population: int = DEFAULT_POPULATION,
 ) -> DataFrame:
     """Reference: ``interface.py:622-710``."""
-    pop = _population(spark, source, population, seed)
-    return _finish(synth.wic_records(pop, year, seed=seed), D.WOMEN_INFANTS_AND_CHILDREN, config, seed, state)
+    recs = _source_records(spark, source, D.WOMEN_INFANTS_AND_CHILDREN,
+                           lambda pop: synth.wic_records(pop, year, seed=seed),
+                           population, seed, year)
+    return _finish(recs, D.WOMEN_INFANTS_AND_CHILDREN, config, seed, state)
 
 
 def generate_social_security(
@@ -123,10 +221,12 @@ def generate_social_security(
 ) -> DataFrame:
     """Reference: ``interface.py:713-898`` (year filter = events up to
     Dec 31 of ``year``)."""
-    pop = _population(spark, source, population, seed)
-    ssa = synth.ssa_records(pop, seed=seed)
-    ssa = ssa.where(F.substring("event_date", 1, 4).cast("int") <= year)
-    return _finish(ssa, D.SOCIAL_SECURITY, config, seed, state)
+    def _synth_ssa(pop):
+        ssa = synth.ssa_records(pop, seed=seed)
+        return ssa.where(F.substring("event_date", 1, 4).cast("int") <= year)
+
+    recs = _source_records(spark, source, D.SOCIAL_SECURITY, _synth_ssa, population, seed, year)
+    return _finish(recs, D.SOCIAL_SECURITY, config, seed, state)
 
 
 def generate_taxes_w2_and_1099(
@@ -139,8 +239,10 @@ def generate_taxes_w2_and_1099(
     population: int = DEFAULT_POPULATION,
 ) -> DataFrame:
     """Reference: ``interface.py:804-898``."""
-    pop = _population(spark, source, population, seed)
-    return _finish(synth.w2_records(pop, year, seed=seed), D.TAXES_W2_AND_1099, config, seed, state)
+    recs = _source_records(spark, source, D.TAXES_W2_AND_1099,
+                           lambda pop: synth.w2_records(pop, year, seed=seed),
+                           population, seed, year)
+    return _finish(recs, D.TAXES_W2_AND_1099, config, seed, state)
 
 
 def generate_taxes_1040(
@@ -153,5 +255,7 @@ def generate_taxes_1040(
     population: int = DEFAULT_POPULATION,
 ) -> DataFrame:
     """Reference: ``interface.py:901-989``."""
-    pop = _population(spark, source, population, seed)
-    return _finish(synth.tax1040_records(pop, year, seed=seed), D.TAXES_1040, config, seed, state)
+    recs = _source_records(spark, source, D.TAXES_1040,
+                           lambda pop: synth.tax1040_records(pop, year, seed=seed),
+                           population, seed, year)
+    return _finish(recs, D.TAXES_1040, config, seed, state)

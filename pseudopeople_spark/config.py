@@ -101,15 +101,55 @@ NO_NOISE: "dict[str, Any]" = {
 
 
 def _merge(base: "dict[str, Any]", over: "Mapping[str, Any]", path: tuple) -> None:
+    """Strict merge with reference-parity validation
+    (``configuration/validator.py:16-105``): every user key must exist
+    in the baseline tree at every level — unknown datasets, noise
+    types, columns AND parameters are all rejected (round 1 accepted
+    any unknown key below the dataset level); parameter values are
+    range-checked (``_validate_parameter``)."""
+    kinds = ("dataset", "configuration key", "noise type / column", "noise type", "parameter")
     for k, v in over.items():
         if k not in base:
-            if len(path) >= 1:  # allow unknown leaf params but not unknown datasets
-                base[k] = copy.deepcopy(v)
-                continue
-            raise ConfigurationError(f"unknown configuration key {'.'.join(path + (str(k),))}")
-        if isinstance(v, Mapping) and isinstance(base.get(k), dict):
+            kind = kinds[min(len(path), len(kinds) - 1)]
+            raise ConfigurationError(
+                f"Invalid {kind} '{k}' provided at '{'.'.join(path) or '<root>'}'. "
+                f"Valid options: {sorted(base)}"
+            )
+        if isinstance(v, Mapping) and isinstance(base.get(k), dict) and len(path) < 4:
             _merge(base[k], v, path + (str(k),))
         else:
-            if isinstance(v, (int, float)) and ("probability" in str(k)) and not (0.0 <= float(v) <= 1.0):
-                raise ConfigurationError(f"probability {'.'.join(path + (str(k),))}={v} outside [0,1]")
-            base[k] = copy.deepcopy(v)
+            base[k] = _validate_parameter(str(k), v, path)
+
+
+def _validate_parameter(key: str, value: Any, path: tuple) -> Any:
+    """Value checks mirroring the reference's parameter validators
+    (``validator.py:108-257``)."""
+    where = ".".join(path + (key,))
+    if key == "digit_probabilities":
+        if not isinstance(value, (list, tuple)) or len(value) != 5 or not all(
+            isinstance(x, (int, float)) and 0.0 <= float(x) <= 1.0 for x in value
+        ):
+            raise ConfigurationError(
+                f"'{where}' must be a list of 5 probabilities in [0,1]; got {value!r}"
+            )
+        return list(value)
+    if key == "possible_age_differences":
+        # reference accepts a list (uniform weights) or a dict of weights
+        # (validator.py:186-231); normalize to the dict form
+        if isinstance(value, (list, tuple)):
+            value = {d: 1.0 / len(value) for d in value}
+        if not isinstance(value, Mapping) or not value:
+            raise ConfigurationError(f"'{where}' must be a non-empty list or dict; got {value!r}")
+        for d, wt in value.items():
+            if not isinstance(d, int) or d == 0:
+                raise ConfigurationError(f"'{where}' keys must be non-zero ints; got {d!r}")
+            if not isinstance(wt, (int, float)) or wt < 0:
+                raise ConfigurationError(f"'{where}' weights must be >= 0; got {wt!r}")
+        if sum(value.values()) <= 0:
+            raise ConfigurationError(f"'{where}' weights must sum > 0")
+        return dict(value)
+    if "probability" in key:
+        if not isinstance(value, (int, float)) or not (0.0 <= float(value) <= 1.0):
+            raise ConfigurationError(f"probability '{where}'={value!r} outside [0,1]")
+        return float(value)
+    return copy.deepcopy(value)

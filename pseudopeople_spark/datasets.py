@@ -91,15 +91,16 @@ class DatasetSpec:
 
 SEXES = ("Female", "Male")
 RACES = ("White", "Black", "Latino", "Asian", "AIAN", "NHOPI", "Multiracial or Other")
+# Full 19-option list (reference data/incorrect_select_options.csv /
+# sample data distinct values)
 RELATIONSHIPS = (
-    "Reference person",
-    "Opposite-sex spouse",
-    "Biological child",
-    "Adopted child",
-    "Parent",
-    "Sibling",
-    "Roommate or housemate",
-    "Other relative",
+    "Reference person", "Opposite-sex spouse", "Opposite-sex unmarried partner",
+    "Same-sex spouse", "Same-sex unmarried partner", "Biological child",
+    "Adopted child", "Stepchild", "Sibling", "Parent", "Grandchild",
+    "Parent-in-law", "Child-in-law", "Other relative", "Roommate or housemate",
+    "Foster child", "Other nonrelative",
+    "Institutionalized group quarters population",
+    "Noninstitutionalized group quarters population",
 )
 STATES = (
     "AL", "AK", "AZ", "AR", "CA", "CO", "CT", "DE", "FL", "GA", "HI", "ID", "IL",
@@ -108,7 +109,7 @@ STATES = (
     "SC", "SD", "TN", "TX", "UT", "VT", "VA", "WA", "WV", "WI", "WY", "DC",
 )
 TAX_FORMS = ("W2", "1099")
-SSA_EVENT_TYPES = ("creation", "date_of_death")
+SSA_EVENT_TYPES = ("creation", "death")  # reference incorrect_select_options.csv
 
 
 def _person_core() -> "list[ColumnSpec]":

@@ -1,13 +1,16 @@
-"""Noise assets — our own small, hand-written equivalents of the
-reference's data files (nicknames.csv, fake_names.py, qwerty_errors.yaml,
-ocr_errors.csv, phonetic_variations.csv — see SURVEY.md §2.C).
+"""Noise assets — full-fidelity data tables loaded from
+``pseudopeople_spark/data/`` (built by ``tools/build_assets.py`` from
+the reference's published data files: nicknames.csv 1,080 names,
+phonetic_variations.csv 356 rules, ocr_errors.csv 49 confusions,
+qwerty_errors.yaml adjacency, NORC fake-name lists, categorical option
+lists — SURVEY.md §2.C). Round 1 shipped hand-written stand-ins ~10x
+smaller; the noise DISTRIBUTIONS a user gets are defined by these
+tables, so parity requires the real ones (VERDICT.md missing #1).
 
-These are *behavioral* stand-ins built from public knowledge (common US
-names, QWERTY layout, classic OCR confusions, English phonetic
-variants); the reference's distributional tests don't require its exact
-asset contents, only the operator semantics. All assets are tiny and
-are shipped to executors inside pandas-UDF closures / array literals
-(broadcast-by-closure), never joined at scale.
+All assets are tiny and are shipped to executors inside pandas-UDF
+closures / array literals (broadcast-by-closure), never joined at
+scale. The synth name/street/city pools below are NOT noise assets —
+they seed the deterministic population generator.
 """
 
 from __future__ import annotations
@@ -74,164 +77,59 @@ CITIES = (
     "Kingston", "Mount Vernon", "Oakland", "Winchester", "Centerville", "Lebanon",
 )
 
-# first name -> nicknames (reference analogue: data/nicknames.csv — 1,080
-# names; ours is a compact, hand-curated public subset)
-NICKNAMES: "dict[str, tuple[str, ...]]" = {
-    "James": ("Jim", "Jimmy", "Jamie"),
-    "Robert": ("Bob", "Bobby", "Rob", "Robbie", "Bert"),
-    "John": ("Jack", "Johnny", "Jon"),
-    "Michael": ("Mike", "Mikey", "Mick"),
-    "William": ("Will", "Bill", "Billy", "Willy", "Liam"),
-    "David": ("Dave", "Davey"),
-    "Richard": ("Rick", "Dick", "Richie", "Ricky"),
-    "Joseph": ("Joe", "Joey"),
-    "Thomas": ("Tom", "Tommy"),
-    "Christopher": ("Chris", "Topher", "Kit"),
-    "Charles": ("Charlie", "Chuck", "Chas"),
-    "Daniel": ("Dan", "Danny"),
-    "Matthew": ("Matt", "Matty"),
-    "Anthony": ("Tony", "Ant"),
-    "Donald": ("Don", "Donny"),
-    "Steven": ("Steve", "Stevie"),
-    "Andrew": ("Andy", "Drew"),
-    "Kenneth": ("Ken", "Kenny"),
-    "Joshua": ("Josh",),
-    "Kevin": ("Kev",),
-    "Timothy": ("Tim", "Timmy"),
-    "Ronald": ("Ron", "Ronnie"),
-    "Jason": ("Jay", "Jase"),
-    "Edward": ("Ed", "Eddie", "Ted", "Ned"),
-    "Jeffrey": ("Jeff",),
-    "Jacob": ("Jake",),
-    "Nicholas": ("Nick", "Nicky"),
-    "Jonathan": ("Jon", "Jonny"),
-    "Stephen": ("Steve", "Stevie"),
-    "Lawrence": ("Larry",),
-    "Justin": ("Jus",),
-    "Benjamin": ("Ben", "Benny", "Benji"),
-    "Samuel": ("Sam", "Sammy"),
-    "Gregory": ("Greg",),
-    "Alexander": ("Alex", "Al", "Xander", "Sasha"),
-    "Patrick": ("Pat", "Paddy"),
-    "Raymond": ("Ray",),
-    "Dennis": ("Denny",),
-    "Gerald": ("Gerry", "Jerry"),
-    "Douglas": ("Doug",),
-    "Henry": ("Hank", "Harry"),
-    "Peter": ("Pete",),
-    "Zachary": ("Zach", "Zack"),
-    "Walter": ("Walt", "Wally"),
-    "Harold": ("Harry", "Hal"),
-    "Arthur": ("Art", "Artie"),
-    "Albert": ("Al", "Bert"),
-    "Eugene": ("Gene",),
-    "Russell": ("Russ", "Rusty"),
-    "Philip": ("Phil",),
-    "Bradley": ("Brad",),
-    "Vincent": ("Vince", "Vinny"),
-    "Mary": ("Molly", "Polly", "Mae"),
-    "Patricia": ("Pat", "Patty", "Trish", "Tricia"),
-    "Jennifer": ("Jen", "Jenny"),
-    "Elizabeth": ("Liz", "Beth", "Betsy", "Eliza", "Libby", "Lizzie"),
-    "Barbara": ("Barb", "Babs"),
-    "Susan": ("Sue", "Susie", "Suzy"),
-    "Jessica": ("Jess", "Jessie"),
-    "Sarah": ("Sally",),
-    "Karen": ("Kay",),
-    "Nancy": ("Nan",),
-    "Margaret": ("Maggie", "Meg", "Peggy", "Marge", "Daisy"),
-    "Kimberly": ("Kim", "Kimmy"),
-    "Deborah": ("Deb", "Debbie"),
-    "Stephanie": ("Steph", "Stephie"),
-    "Rebecca": ("Becky", "Becca"),
-    "Sharon": ("Shari",),
-    "Cynthia": ("Cindy",),
-    "Kathleen": ("Kathy", "Kate", "Katie"),
-    "Amanda": ("Mandy", "Amy"),
-    "Melissa": ("Mel", "Missy"),
-    "Dorothy": ("Dot", "Dottie", "Dora"),
-    "Katherine": ("Kate", "Katie", "Kathy", "Kitty"),
-    "Christine": ("Chris", "Chrissy", "Tina"),
-    "Debra": ("Deb", "Debbie"),
-    "Pamela": ("Pam",),
-    "Virginia": ("Ginny", "Ginger"),
-    "Judith": ("Judy", "Jude"),
-    "Jacqueline": ("Jackie",),
-    "Abigail": ("Abby", "Gail"),
-    "Victoria": ("Vicky", "Tori"),
-    "Samantha": ("Sam", "Sammy"),
-    "Alexis": ("Lexi",),
-    "Danielle": ("Dani",),
-    "Isabella": ("Bella", "Izzy"),
-    "Charlotte": ("Lottie", "Charlie"),
-    "Gabriel": ("Gabe",),
-    "Theresa": ("Terry", "Tess"),
-    "Frances": ("Fran", "Frannie"),
-    "Florence": ("Flo", "Flossie"),
-    "Beverly": ("Bev",),
-    "Natalie": ("Nat",),
-    "Angela": ("Angie",),
-    "Catherine": ("Cathy", "Cate", "Kitty"),
-}
 
-# fake names for use_fake_name (reference analogue: data/fake_names.py —
-# NORC canonical fake/placeholder name lists)
-FAKE_FIRST_NAMES = (
-    "Girl", "Boy", "Baby", "Child", "Infant", "Son", "Daughter", "Minor",
-    "Firstname", "First", "Unknown", "Unk", "None", "Noname", "Test", "Twin",
-    "A", "B", "One", "Two", "Babyboy", "Babygirl", "Male", "Female",
-)
-FAKE_LAST_NAMES = (
-    "Lastname", "Last", "Unknown", "Unk", "None", "Noname", "Test", "Doe",
-    "Anonymous", "Anon", "Refused", "Declined", "Missing", "Sample", "Donotuse",
-    "Household", "Resident", "Occupant", "Family", "Tenant",
-)
+# ---------------------------------------------------------------------------
+# full-fidelity noise asset tables (see module docstring)
+# ---------------------------------------------------------------------------
 
-# QWERTY adjacency for make_typos (reference analogue: data/qwerty_errors.yaml)
+import csv as _csv
+import os as _os
+
+_DATA_DIR = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "data")
+
+
+def _load_rules(fname: str) -> "dict[str, tuple[str, ...]]":
+    out: "dict[str, tuple[str, ...]]" = {}
+    with open(_os.path.join(_DATA_DIR, fname)) as f:
+        rows = [r for r in f if not r.startswith("#")]
+    for rec in _csv.DictReader(rows):
+        out[rec["token"]] = tuple(rec["variants"].split("|")) if rec["variants"] else ("",)
+    return out
+
+
+def _load_pairs(fname: str) -> "list[tuple[str, str]]":
+    with open(_os.path.join(_DATA_DIR, fname)) as f:
+        rows = [r for r in f if not r.startswith("#")]
+    recs = list(_csv.DictReader(rows))
+    keys = list(recs[0].keys())
+    return [(r[keys[0]], r[keys[1]]) for r in recs]
+
+
+# first name -> nicknames (title-cased at build time, like the
+# reference's loader noise_scaling.py:54-59)
+NICKNAMES: "dict[str, tuple[str, ...]]" = _load_rules("nicknames.csv")
+
+# NORC PVS fake/placeholder names (reference data/fake_names.py)
+FAKE_FIRST_NAMES: "tuple[str, ...]" = tuple(n for k, n in _load_pairs("fake_names.csv") if k == "first")
+FAKE_LAST_NAMES: "tuple[str, ...]" = tuple(n for k, n in _load_pairs("fake_names.csv") if k == "last")
+
+# QWERTY adjacency for make_typos (reference data/qwerty_errors.yaml);
+# value = string of neighbor characters (kernel indexes into it)
 QWERTY_NEIGHBORS: "dict[str, str]" = {
-    "1": "2q", "2": "13qw", "3": "24we", "4": "35er", "5": "46rt", "6": "57ty",
-    "7": "68yu", "8": "79ui", "9": "80io", "0": "9op",
-    "q": "12wa", "w": "23qeas", "e": "34wrsd", "r": "45etdf", "t": "56ryfg",
-    "y": "67tugh", "u": "78yihj", "i": "89uojk", "o": "90ipkl", "p": "0ol",
-    "a": "qwsz", "s": "weadzx", "d": "ersfxc", "f": "rtdgcv", "g": "tyfhvb",
-    "h": "yugjbn", "j": "uihknm", "k": "iojlm", "l": "opk",
-    "z": "asx", "x": "sdzc", "c": "dfxv", "v": "fgcb", "b": "ghvn",
-    "n": "hjbm", "m": "jkn",
+    k: "".join(v) for k, v in _load_rules("qwerty_neighbors.csv").items()
 }
 
-# OCR confusions for make_ocr_errors (reference analogue:
-# data/ocr_errors.csv — 49 substitutions like 5→S, LI→U); token → variants
-OCR_ERRORS: "dict[str, tuple[str, ...]]" = {
-    "0": ("O", "D"), "1": ("I", "L"), "2": ("Z",), "5": ("S",), "6": ("G",),
-    "8": ("B",), "9": ("g", "q"),
-    "O": ("0", "D"), "D": ("O", "0"), "I": ("1", "l"), "l": ("1", "I"),
-    "S": ("5",), "Z": ("2",), "B": ("8",), "G": ("6",), "g": ("9",), "q": ("9",),
-    "m": ("rn",), "rn": ("m",), "w": ("vv",), "vv": ("w",), "d": ("cl",),
-    "cl": ("d",), "nn": ("m",), "ri": ("n",), "LI": ("U",), "W": ("VV",),
-    "E": ("F",), "F": ("E", "P"), "C": ("G", "O"), "K": ("R",), "R": ("K",),
-    "u": ("ii", "v"), "v": ("u", "y"), "y": ("v",), "h": ("b", "li"),
-    "b": ("h", "6"), "e": ("c", "o"), "c": ("e", "o"), "o": ("c", "e", "0"),
-    "a": ("o", "ci"), "t": ("f", "+"), "f": ("t",), "s": ("5",), "i": ("j", "l"),
-    "j": ("i",), "n": ("ri", "h"), "T": ("I",), "Y": ("V",), "V": ("Y", "U"),
-    "U": ("V", "LI"),
-}
+# OCR confusions for make_ocr_errors (reference data/ocr_errors.csv);
+# token -> variants, longest-match tokens like "cl" included
+OCR_ERRORS: "dict[str, tuple[str, ...]]" = _load_rules("ocr_rules.csv")
 
-# Phonetic variants for make_phonetic_errors (reference analogue:
-# data/phonetic_variations.csv — 356 rules, '@' = deletion)
-PHONETIC_VARIANTS: "dict[str, tuple[str, ...]]" = {
-    "ph": ("f",), "f": ("ph",), "ck": ("k", "c"), "k": ("c", "ck"),
-    "c": ("k", "s"), "sh": ("ch",), "ch": ("sh", "k"), "th": ("t",),
-    "gh": ("", "g"), "kn": ("n",), "wr": ("r",), "mb": ("m",),
-    "qu": ("kw", "q"), "x": ("ks", "z"), "z": ("s",), "s": ("z", "c"),
-    "ee": ("ea", "ie", "y"), "ea": ("ee", "e"), "ie": ("ee", "y", "ei"),
-    "ei": ("ie", "ay"), "oo": ("u", "ou"), "ou": ("oo", "ow"),
-    "ow": ("ou", "o"), "ay": ("ai", "ey"), "ai": ("ay", "a"),
-    "ey": ("ay", "y"), "y": ("i", "ie", "ey"), "i": ("y", "e"),
-    "e": ("i", "a"), "a": ("e", "o"), "o": ("a", "u"), "u": ("o", "oo"),
-    "ll": ("l",), "l": ("ll",), "tt": ("t",), "t": ("tt", "d"),
-    "nn": ("n",), "n": ("nn",), "ss": ("s",), "mm": ("m",), "m": ("mm",),
-    "rr": ("r",), "r": ("rr",), "dd": ("d",), "d": ("dd", "t"),
-    "bb": ("b",), "pp": ("p",), "g": ("j",), "j": ("g",), "w": ("wh",),
-    "wh": ("w",), "er": ("ar", "or"), "ar": ("er",), "or": ("er", "our"),
-    "an": ("en",), "en": ("an", "in"), "in": ("en", "yn"), "on": ("an",),
-}
+# Phonetic variants for make_phonetic_errors (reference
+# data/phonetic_variations.csv, ANU 2008; "" = deletion)
+PHONETIC_VARIANTS: "dict[str, tuple[str, ...]]" = _load_rules("phonetic_rules.csv")
+
+# categorical option lists per column (reference
+# data/incorrect_select_options.csv) — the choose_wrong_option universe
+SELECT_OPTIONS: "dict[str, tuple[str, ...]]" = {}
+for _col, _opt in _load_pairs("select_options.csv"):
+    SELECT_OPTIONS.setdefault(_col, ())
+    SELECT_OPTIONS[_col] = SELECT_OPTIONS[_col] + (_opt,)

@@ -49,6 +49,22 @@ def _apply(df: DataFrame, column: str, mask: Column, noised: Column) -> DataFram
     return df.withColumn(column, F.when(mask, noised).otherwise(F.col(column)))
 
 
+def _eligibility_scaled(
+    df: DataFrame, p: float, eligible: Column, notna: Column, tag: str
+) -> "tuple[DataFrame, Column]":
+    """The reference scales cell_probability by 1/proportion-eligible so
+    the OBSERVED change rate over all cells stays at p even though only
+    eligible cells (name has a nickname / household member has a value)
+    can change (noise_scaling.py:26-45). Realized lazily as
+    ``crossJoin(broadcast(1-row aggregate))`` — one extra pass over the
+    input, no collect, plan stays a single DAG."""
+    stats = df.agg(
+        (F.sum(eligible.cast("double")) / F.sum(notna.cast("double"))).alias(tag)
+    )
+    scaled = F.least(F.lit(1.0), F.lit(p) / F.col(tag))
+    return df.crossJoin(F.broadcast(stats)), scaled
+
+
 def leave_blank(
     df: DataFrame, column: str, key_col: str, p: float = 0.01, seed: int = 0, u01: U01 = hash_u01
 ) -> DataFrame:
@@ -100,11 +116,17 @@ def copy_from_household_member(
     household member's value (reference noise_functions.py:344-362;
     shadow-column map constants/noise_type_metadata.py:17-26).
     Rows with no eligible household member (copy column null) are never
-    selected."""
+    selected; the rate on eligible rows is scaled by 1/proportion-
+    eligible so the overall change rate stays at p
+    (noise_scaling.py:37-45)."""
+    notna = F.col(column).isNotNull() & (F.col(column).cast("string") != "")
+    eligible = notna & F.col(copy_column).isNotNull()
+    df, p_eff = _eligibility_scaled(df, p, eligible, notna, "__copy_prop")
     mask = _base_mask(
-        df, column, key_col, p, seed, f"copy_from_household_member_{column}", u01, required=[copy_column]
+        df, column, key_col, p_eff, seed, f"copy_from_household_member_{column}", u01,
+        required=[copy_column],
     )
-    return _apply(df, column, mask, F.col(copy_column).cast(df.schema[column].dataType))
+    return _apply(df, column, mask, F.col(copy_column).cast(df.schema[column].dataType)).drop("__copy_prop")
 
 
 def swap_month_and_day(
@@ -251,10 +273,13 @@ def use_nickname(
     )
     joined = df.join(nick_df, F.col(column) == F.col("__nick_name"), "left")
     arr = F.col("__nick_arr")
-    mask = _base_mask(joined, column, key_col, p, seed, f"use_nickname_{column}", u01) & arr.isNotNull()
+    notna = F.col(column).isNotNull() & (F.col(column).cast("string") != "")
+    # scale by 1/proportion-have-nickname (noise_scaling.py:26-34)
+    joined, p_eff = _eligibility_scaled(joined, p, notna & arr.isNotNull(), notna, "__nick_prop")
+    mask = _base_mask(joined, column, key_col, p_eff, seed, f"use_nickname_{column}", u01) & arr.isNotNull()
     u_pick = u01(F.col(key_col), seed, f"use_nickname_pick_{column}")
     pick = F.element_at(arr, (F.floor(u_pick * F.size(arr)) + 1).cast("int"))
-    return _apply(joined, column, mask, pick).drop("__nick_name", "__nick_arr")
+    return _apply(joined, column, mask, pick).drop("__nick_name", "__nick_arr", "__nick_prop")
 
 
 def use_fake_name(

@@ -156,3 +156,47 @@ def test_partitioning_invariance(spark):
         r["key"] for r in cn.leave_blank(df.repartition(23), "v", "key", p=0.1, seed=3).where(F.col("v").isNull()).collect()
     )
     assert out1 == out2
+
+
+def test_full_fidelity_assets_loaded():
+    """The shipped data tables are at reference scale (VERDICT.md
+    missing #1): 1,080 nicknames, 297 phonetic rule groups (356 raw
+    rules), 39 OCR groups (49 raw), full QWERTY adjacency, NORC fake
+    names, 7 option columns."""
+    from pseudopeople_spark.operators import assets
+
+    assert len(assets.NICKNAMES) == 1080
+    assert max(len(v) for v in assets.NICKNAMES.values()) <= 15
+    assert len(assets.PHONETIC_VARIANTS) == 297
+    assert assets.PHONETIC_VARIANTS["h"] == ("",)  # ALL,h,@ deletion rule
+    assert len(assets.OCR_ERRORS) == 39
+    assert "S" in assets.OCR_ERRORS["5"]
+    assert set("was") == set(assets.QWERTY_NEIGHBORS["q"])
+    assert len(assets.FAKE_FIRST_NAMES) == 90 and len(assets.FAKE_LAST_NAMES) == 87
+    assert len(assets.SELECT_OPTIONS["state"]) == 51
+    assert len(assets.SELECT_OPTIONS["relationship_to_reference_person"]) == 19
+
+
+def test_use_nickname_overall_rate_matches_scaling(spark):
+    """Eligibility scaling (noise_scaling.py:26-34): the observed change
+    rate over ALL cells ~= p even though only names with nicknames can
+    change."""
+    from pseudopeople_spark import synth
+    from pseudopeople_spark.operators import assets
+    from pseudopeople_spark.operators.column_noise import use_nickname
+    from tests.conftest import assert_proportion
+
+    pop = synth.simulants(spark, 30_000, seed=11).select(
+        F.col("simulant_id").alias("record_id"), F.col("first_name")
+    )
+    p = 0.05
+    out = use_nickname(pop, "first_name", "record_id", assets.NICKNAMES, p=p, seed=3)
+    changed = (
+        out.withColumnRenamed("first_name", "noised")
+        .join(pop, "record_id")
+        .where(F.col("noised") != F.col("first_name"))
+        .count()
+    )
+    n = pop.count()
+    # a nickname can collide with the original name; allow small shortfall
+    assert_proportion(changed, n, p, "use_nickname overall rate", slack_sigmas=8)
