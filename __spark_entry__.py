@@ -247,9 +247,16 @@ def rollup_agg(spark, sf_dir):
        WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)""",
 )
 def scalar_subquery_filter(spark, sf_dir):
+    """Scalar subquery as ONE lazy plan: crossJoin(broadcast(1-row agg))
+    instead of a driver-side collect — no action until the consumer
+    runs, and the scan happens inside the same job."""
     o = _t(spark, sf_dir, "orders")
-    avg_price = o.agg(F.avg("o_totalprice")).collect()[0][0]
-    return o.where(F.col("o_totalprice") > avg_price * 1.5).select("o_orderkey", "o_totalprice")
+    thresh = o.agg((F.avg("o_totalprice") * 1.5).alias("__thresh"))
+    return (
+        o.crossJoin(F.broadcast(thresh))
+        .where(F.col("o_totalprice") > F.col("__thresh"))
+        .select("o_orderkey", "o_totalprice")
+    )
 
 
 @_q(
@@ -601,16 +608,21 @@ def dedup_char_jaccard(spark, sf_dir):
     )
     big = db.where(F.col("bs") > _DCJ_CAP)
     w = Window.partitionBy("lang", "bucket").orderBy("doc_id")
-    sweep = None
-    for k in range(1, _DCJ_SWEEP + 1):
-        nxt = big.select(
-            F.col("doc_id").alias("a"), F.lead("doc_id", k).over(w).alias("b"),
-            F.col("chars").alias("ca"), F.lead("chars", k).over(w).alias("cb"),
-        ).where(F.col("b").isNotNull())
-        sweep = nxt if sweep is None else sweep.unionByName(nxt)
-    sweep = sweep.select(
-        F.least("a", "b").alias("id_l"), F.greatest("a", "b").alias("id_r"),
-        F.col("ca").alias("cl"), F.col("cb").alias("cr"),
+    # all lead(k) neighbors in ONE window pass (one exchange+sort)
+    leads = big.select(
+        F.col("doc_id").alias("a"), F.col("chars").alias("ca"),
+        F.array(*[
+            F.struct(F.lead("doc_id", k).over(w).alias("b"), F.lead("chars", k).over(w).alias("cb"))
+            for k in range(1, _DCJ_SWEEP + 1)
+        ]).alias("_nbrs"),
+    )
+    sweep = (
+        leads.select("a", "ca", F.explode("_nbrs").alias("n"))
+        .where(F.col("n.b").isNotNull())
+        .select(
+            F.least("a", F.col("n.b")).alias("id_l"), F.greatest("a", F.col("n.b")).alias("id_r"),
+            F.col("ca").alias("cl"), F.col("n.cb").alias("cr"),
+        )
     )
     pairs = quad.unionByName(sweep)
     inter = F.size(F.array_intersect(F.col("cl"), F.col("cr")))
@@ -856,6 +868,42 @@ def minhash_bands(spark, sf_dir):
     same shape)."""
     _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(PT.minhash_bands_sql(PT.SPARK))
+
+
+@_q(
+    "media_ref_extract",
+    """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+              'media://' || CAST(doc_id AS VARCHAR) || '/2' AS media_ref,
+              CAST(len(lang) + len(source) AS INT) AS off, CAST(2 AS INT) AS span_idx
+       FROM documents
+       UNION ALL
+       SELECT CAST(doc_id AS VARCHAR),
+              'media://' || CAST(doc_id AS VARCHAR) || '/4',
+              CAST(len(lang) + len(source) + len(substr(text, 1, 200))
+                   + len(CAST(n_chars AS VARCHAR)) AS INT), CAST(5 AS INT)
+       FROM documents""",
+)
+def media_ref_extract(spark, sf_dir):
+    """Multimodal span plumbing end-to-end: documents are serialized to
+    interleaved text+media span docs (spans.encode_records — one media
+    span after every 2 fields, deterministic media:// refs) and the
+    media spans extracted back out (functions/media.media_spans,
+    posexplode + filter — narrow, no shuffle). The oracle replays the
+    ref naming and running character offsets arithmetically."""
+    from pseudopeople_spark.functions.media import media_spans
+    from pseudopeople_spark.spans import encode_records
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("lang"),
+        F.col("source"),
+        F.substring("text", 1, 200).alias("t200"),
+        F.col("n_chars").cast("string").alias("ncs"),
+    )
+    docs = encode_records(d, "doc_id", ["lang", "source", "t200", "ncs"], media_every=2)
+    return media_spans(docs).select(
+        "doc_id", "media_ref", F.col("offset").alias("off"), F.col("span_idx").cast("int").alias("span_idx")
+    )
 
 
 def queries() -> "dict[str, Callable[[SparkSession, str], DataFrame]]":

@@ -119,19 +119,22 @@ def simhash_near_dups(
     )
     if big is not None:
         w = Window.partitionBy("band_key").orderBy("simhash", "id")
-        sweep = None
-        for k in (1, 2, 3):
-            nxt = big.select(
-                F.col("id").alias("id_l_raw"),
-                F.col("simhash").alias("sig_l"),
-                F.lead("id", k).over(w).alias("id_r_raw"),
-                F.lead("simhash", k).over(w).alias("sig_r"),
-            ).where(F.col("id_r_raw").isNotNull())
-            sweep = nxt if sweep is None else sweep.unionByName(nxt)
-        sweep_pairs = sweep.select(
-            F.least("id_l_raw", "id_r_raw").alias("id_l"),
-            F.greatest("id_l_raw", "id_r_raw").alias("id_r"),
-            F.bit_count(F.col("sig_l").bitwiseXOR(F.col("sig_r"))).alias("hamming"),
+        # all lead(k) neighbors in ONE window pass (one exchange+sort)
+        leads = big.select(
+            F.col("id").alias("id_l_raw"), F.col("simhash").alias("sig_l"),
+            F.array(*[
+                F.struct(F.lead("id", k).over(w).alias("id_r"), F.lead("simhash", k).over(w).alias("sig_r"))
+                for k in (1, 2, 3)
+            ]).alias("_nbrs"),
+        )
+        sweep_pairs = (
+            leads.select("id_l_raw", "sig_l", F.explode("_nbrs").alias("n"))
+            .where(F.col("n.id_r").isNotNull())
+            .select(
+                F.least("id_l_raw", F.col("n.id_r")).alias("id_l"),
+                F.greatest("id_l_raw", F.col("n.id_r")).alias("id_r"),
+                F.bit_count(F.col("sig_l").bitwiseXOR(F.col("n.sig_r"))).alias("hamming"),
+            )
         )
         pairs = pairs.unionByName(sweep_pairs)
     return pairs.where(F.col("hamming") <= max_hamming).dropDuplicates(["id_l", "id_r"])

@@ -92,13 +92,13 @@ def sorted_neighborhood_pairs(
     # loss, covered by the phonetic/MinHash passes.
     part = partition_expr if partition_expr is not None else F.substring(F.col("_snk"), 1, 2)
     w = Window.partitionBy(part).orderBy(F.col("_snk"), F.col(id_col))
-    pairs = None
-    for k in range(1, window_size + 1):
-        p = base.select(
-            F.col(id_col).alias("id_l"),
-            F.lead(F.col(id_col), k).over(w).alias("id_r"),
-        ).where(F.col("id_r").isNotNull())
-        pairs = p if pairs is None else pairs.unionByName(p)
+    # all lead(k) neighbors in ONE window pass — a per-k union would
+    # re-exchange and re-sort the whole table window_size times
+    leads = base.select(
+        F.col(id_col).alias("id_l"),
+        F.array(*[F.lead(F.col(id_col), k).over(w) for k in range(1, window_size + 1)]).alias("_nbrs"),
+    )
+    pairs = leads.select("id_l", F.explode("_nbrs").alias("id_r")).where(F.col("id_r").isNotNull())
     return pairs.select(
         F.least("id_l", "id_r").alias("id_l"),
         F.greatest("id_l", "id_r").alias("id_r"),

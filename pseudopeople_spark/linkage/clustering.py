@@ -78,18 +78,30 @@ def connected_components(
     parts = max(1, min(256, n_edges // 250_000 + 1))
     if e.rdd.getNumPartitions() != parts:
         e = e.repartition(parts).localCheckpoint()
+    import concurrent.futures
+
     prev_fp = None
-    for i in range(max_iterations):
-        # two star-rounds per driver round-trip: halves the number of
-        # checkpoint+fingerprint jobs (the loop is task-launch-bound on
-        # small edge sets; extra converged rounds are idempotent)
-        e = _small_star(_large_star(e))
-        e = _small_star(_large_star(e))
-        e = e.localCheckpoint()
-        fp = _fingerprint(e)
-        if fp == prev_fp:
-            break
-        prev_fp = fp
+    with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
+        for i in range(max_iterations):
+            # two star-rounds per driver round-trip: halves the number
+            # of checkpoint+fingerprint jobs (the loop is task-launch-
+            # bound on small edge sets; extra converged rounds are
+            # idempotent)
+            nxt = _small_star(_large_star(e))
+            nxt = _small_star(_large_star(nxt))
+            # overlap the convergence check with the next round's
+            # materialization: the fingerprint of the PREVIOUS edge set
+            # runs on another thread while this round's checkpoint job
+            # executes — one serial action per round instead of two
+            # (star rounds are idempotent at the fixed point, so the
+            # speculative extra round after convergence is harmless)
+            fp_future = pool.submit(_fingerprint, e) if i > 0 else None
+            nxt = nxt.localCheckpoint()
+            fp = fp_future.result() if fp_future is not None else None
+            if fp is not None and fp == prev_fp:
+                break
+            prev_fp = fp
+            e = nxt
     # star edges now point node -> component min; include roots themselves
     assign = e.select(F.col("u"), F.col("v").alias("component"))
     roots = e.select(F.col("v").alias("u"), F.col("v").alias("component")).distinct()

@@ -28,8 +28,14 @@ def pairs_from_blocks(
     blocks: DataFrame,
     max_block_size: int = 100,
     neighborhood_window: int = 5,
+    dedup: bool = True,
 ) -> DataFrame:
-    """blocks: (block_key, record_id) -> distinct (id_l, id_r)."""
+    """blocks: (block_key, record_id) -> distinct (id_l, id_r).
+
+    Pass ``dedup=False`` when the caller unions further pair sources
+    and dedups ONCE at the end — two full-width dropDuplicates over the
+    candidate set is the single biggest avoidable shuffle in the
+    pipeline (42M pairs at the 300k-simulant bench)."""
     sizes = blocks.groupBy("block_key").agg(F.count("*").alias("_bs"))
     # NOT broadcast: at 10^12 docs the size table has ~1 block key per
     # few records; let Catalyst/AQE pick the join (both sides hash on
@@ -47,13 +53,13 @@ def pairs_from_blocks(
 
     big = b.where(F.col("_bs") > max_block_size)
     w = Window.partitionBy("block_key").orderBy("record_id")
-    sweep = None
-    for k in range(1, neighborhood_window + 1):
-        p = big.select(
-            F.col("record_id").alias("id_l"),
-            F.lead("record_id", k).over(w).alias("id_r"),
-        ).where(F.col("id_r").isNotNull())
-        sweep = p if sweep is None else sweep.unionByName(p)
+    # ALL lead(k) neighbors in ONE window pass (a union of per-k windows
+    # re-exchanges and re-sorts the oversized blocks k times)
+    leads = big.select(
+        F.col("record_id").alias("id_l"),
+        F.array(*[F.lead("record_id", k).over(w) for k in range(1, neighborhood_window + 1)]).alias("_nbrs"),
+    )
+    sweep = leads.select("id_l", F.explode("_nbrs").alias("id_r")).where(F.col("id_r").isNotNull())
 
-    out = quad if sweep is None else quad.unionByName(sweep)
-    return out.dropDuplicates(["id_l", "id_r"])
+    out = quad.unionByName(sweep)
+    return out.dropDuplicates(["id_l", "id_r"]) if dedup else out

@@ -41,7 +41,8 @@ class ResolveConfig:
     checkpoint_dir: "str | None" = None
 
 
-CANONICAL_FIELDS = ["first_name", "middle", "last_name", "dob", "byear", "ssn_digits", "zipcode", "city", "state", "sex"]
+CANONICAL_FIELDS = ["first_name", "first_variants", "middle", "last_name", "dob", "byear",
+                    "ssn_digits", "zipcode", "city", "state", "sex"]
 
 
 def _dob_digits(col: Column, fmt: str) -> Column:
@@ -76,44 +77,27 @@ def normalize_records(
         name = m.get(canon, canon)
         return F.col(name) if name in df.columns else None
 
-    # nickname -> canonical given name (first mapping wins on conflicts);
-    # tiny table, shipped as a map literal — no join
-    nick2canon: "dict[str, str]" = {}
-    for canon, nicks in NICKNAMES.items():
-        for n in nicks:
-            nick2canon.setdefault(n.upper(), canon.upper())
-    nick_kv = []
-    for k, v in nick2canon.items():
-        nick_kv += [F.lit(k), F.lit(v)]
-    nick_map = F.create_map(*nick_kv)
+    def _strip_fakes(out: Column, strip_fakes: tuple) -> Column:
+        # placeholder/fake names (the use_fake_name noise channel)
+        # carry zero identity signal — treat as missing, exactly
+        # like production ER name-cleaning would. Long placeholders
+        # are matched within edit distance 1 (they get typo'd too);
+        # short ones exactly.
+        exact = [x.upper() for x in strip_fakes]
+        out = F.when(out.isin(*exact), None).otherwise(out)
+        long_fakes = [x for x in exact if len(x) >= 4]
+        if long_fakes:
+            min_lev = F.least(*[F.levenshtein(out, F.lit(x)) for x in long_fakes])
+            out = F.when(min_lev <= 1, None).otherwise(out)
+        return out
 
-    def clean(
-        c: "Column | None",
-        strip_fakes: "tuple | None" = None,
-        canonicalize_nicknames: bool = False,
-    ) -> Column:
+    def clean(c: "Column | None", strip_fakes: "tuple | None" = None) -> Column:
         if c is None:
             return F.lit(None).cast("string")
         out = F.upper(F.trim(c.cast("string")))
         out = F.when(out == "", None).otherwise(out)
-        if canonicalize_nicknames:
-            # fold nicknames onto their canonical given name (the
-            # inverse of the use_nickname noise channel); applied before
-            # fake stripping so DON -> DONALD survives the short-fake
-            # edit-distance screen
-            out = F.coalesce(nick_map.getItem(out), out)
         if strip_fakes:
-            # placeholder/fake names (the use_fake_name noise channel)
-            # carry zero identity signal — treat as missing, exactly
-            # like production ER name-cleaning would. Long placeholders
-            # are matched within edit distance 1 (they get typo'd too);
-            # short ones exactly.
-            exact = [x.upper() for x in strip_fakes]
-            out = F.when(out.isin(*exact), None).otherwise(out)
-            long_fakes = [x for x in exact if len(x) >= 4]
-            if long_fakes:
-                min_lev = F.least(*[F.levenshtein(out, F.lit(x)) for x in long_fakes])
-                out = F.when(min_lev <= 1, None).otherwise(out)
+            out = _strip_fakes(out, strip_fakes)
         return out
 
     dob_src = src("dob") if "dob" in m else (F.col("date_of_birth") if "date_of_birth" in df.columns else None)
@@ -142,12 +126,10 @@ def normalize_records(
                 m["middle"] = cand
                 break
     ssn_src = src("ssn_digits") if "ssn_digits" in m else (F.col("ssn") if "ssn" in df.columns else None)
-    return df.select(
+    out = df.select(
         F.col("record_id"),
         F.lit(dataset_name).alias("dataset"),
-        F.when(
-            clean(src("first_name")).rlike("[0-9]"), None  # OCR/typo garbage
-        ).otherwise(clean(src("first_name"), FAKE_FIRST_NAMES, canonicalize_nicknames=True)).alias("first_name"),
+        clean(src("first_name")).alias("__first_raw"),
         F.substring(clean(src("middle"), FAKE_FIRST_NAMES), 1, 1).alias("middle"),
         clean(src("last_name"), FAKE_LAST_NAMES).alias("last_name"),
         dob_digits_expr.alias("dob"),
@@ -158,6 +140,53 @@ def normalize_records(
         clean(src("state")).alias("state"),
         clean(src("sex")).alias("sex"),
     )
+    # Nickname handling (the inverse of the use_nickname noise channel).
+    # The full 1,080-name table is a GRAPH, not a function: names map to
+    # each other (JUDITH <-> JUDY are each other's nicknames) and one
+    # nickname belongs to several canonical names (LISA is in both the
+    # ALICE and ELIZABETH families), so substituting "the" canonical
+    # corrupts names. Instead each record KEEPS its raw cleaned name and
+    # carries ``first_variants`` — the union of all nickname families
+    # containing it — attached via a BROADCAST join (a map literal of
+    # this size is rebuilt per row; CreateMap isn't constant-folded).
+    # The scorer treats overlapping variant sets as near-agreement.
+    out = out.join(
+        F.broadcast(_first_variants_df(df.sparkSession)),
+        out["__first_raw"] == F.col("__vname"),
+        "left",
+    )
+    first = F.when(F.col("__first_raw").rlike("[0-9]"), None).otherwise(  # OCR/typo garbage
+        _strip_fakes(F.col("__first_raw"), FAKE_FIRST_NAMES)
+    )
+    out = out.withColumn("first_name", first).withColumn(
+        "first_variants",
+        F.when(first.isNull(), None).otherwise(
+            F.coalesce(F.col("__vars"), F.array(first))
+        ),
+    )
+    cols = ["record_id", "dataset", "first_name", "first_variants", "middle", "last_name",
+            "dob", "byear", "ssn_digits", "zipcode", "city", "state", "sex"]
+    return out.select(*cols)
+
+
+_VARIANTS_CACHE: "dict[int, object]" = {}
+
+
+def _first_variants_df(spark):
+    """(name, family-union array) for every name appearing in any
+    nickname family — broadcast-sized (~2,600 names)."""
+    key = id(spark)
+    if key not in _VARIANTS_CACHE:
+        fam: "dict[str, set]" = {}
+        for canon, nicks in NICKNAMES.items():
+            members = {canon.upper()} | {n.upper() for n in nicks}
+            for name in members:
+                fam.setdefault(name, set()).update(members)
+        rows = [(name, sorted(members)) for name, members in fam.items()]
+        _VARIANTS_CACHE[key] = spark.createDataFrame(
+            rows, "__vname string, __vars array<string>"
+        )
+    return _VARIANTS_CACHE[key]
 
 
 def candidate_blocks(records: DataFrame, cfg: ResolveConfig) -> DataFrame:
@@ -202,13 +231,19 @@ def resolve(
     blocks = _timed("blocking", lambda: candidate_blocks(records, cfg))
 
     def _pairs() -> DataFrame:
-        p = pairgen.pairs_from_blocks(blocks, max_block_size=cfg.max_block_size)
+        p = pairgen.pairs_from_blocks(blocks, max_block_size=cfg.max_block_size, dedup=False)
         if cfg.use_sorted_neighborhood:
             snb = blocking.sorted_neighborhood_pairs(
                 records, ["last_name", "first_name", "dob"], window_size=cfg.snb_window
             ).select("id_l", "id_r")
-            p = p.unionByName(snb).dropDuplicates(["id_l", "id_r"])
-        return p
+            p = p.unionByName(snb)
+        # ONE dedup shuffle for all pair sources, hash-partitioned on
+        # id_l alone: HashPartitioning(id_l) satisfies the aggregate's
+        # ClusteredDistribution([id_l, id_r]) (all copies of a pair share
+        # id_l), so the dropDuplicates adds no second exchange AND the
+        # scoring join on id_l reuses the same partitioning — net one
+        # full-width shuffle of the candidate set instead of three.
+        return p.repartition("id_l").dropDuplicates(["id_l", "id_r"])
 
     cand = _timed("pairs", _pairs)
 

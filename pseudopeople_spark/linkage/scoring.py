@@ -67,14 +67,43 @@ def _sim(spec: FieldSpec) -> Column:
     return F.when(a.isNull() | b.isNull(), None).otherwise(s)
 
 
+def _variant_aware_first_sim(base: Column) -> Column:
+    """first-name similarity upgraded with the nickname-family variant
+    arrays (pipeline._first_variants_df): overlapping families (the two
+    names are nicknames of one given name, or one names the other)
+    count 0.95; otherwise the best Levenshtein similarity across the
+    variant cross-product (capped 0.93 — family-fuzzy evidence clears
+    the disagreement veto but never the exact-name fast paths). All
+    JVM expressions; arrays are tiny (median 1, max ~20)."""
+    lv, rv = F.col("l_first_variants"), F.col("r_first_variants")
+    overlap = F.when(F.arrays_overlap(lv, rv), F.lit(0.95))
+    cross = F.flatten(
+        F.transform(
+            lv,
+            lambda a: F.transform(
+                rv,
+                lambda b: F.lit(1.0)
+                - F.levenshtein(a, b).cast("double") / F.greatest(F.length(a), F.length(b)),
+            ),
+        )
+    )
+    var_sim = F.least(F.array_max(cross), F.lit(0.93))
+    both = lv.isNotNull() & rv.isNotNull()
+    return F.when(both, F.greatest(base, overlap, var_sim)).otherwise(base)
+
+
 def score_pairs(pairs_with_fields: DataFrame, fields: "tuple[FieldSpec, ...]" = DEFAULT_FIELDS) -> DataFrame:
     """Add sim_<field> columns and a null-renormalized weighted score."""
     df = pairs_with_fields
+    has_variants = "l_first_variants" in df.columns and "r_first_variants" in df.columns
     num: Column = F.lit(0.0)
     den: Column = F.lit(0.0)
     for spec in fields:
         sim_col = f"sim_{spec.name}"
-        df = df.withColumn(sim_col, _sim(spec))
+        sim = _sim(spec)
+        if spec.name == "first_name" and has_variants:
+            sim = _variant_aware_first_sim(sim)
+        df = df.withColumn(sim_col, sim)
         present = F.col(sim_col).isNotNull()
         num = num + F.when(present, F.col(sim_col) * spec.weight).otherwise(0.0)
         den = den + F.when(present, F.lit(spec.weight)).otherwise(0.0)
@@ -184,9 +213,11 @@ def tiered_match(scored: DataFrame, threshold: float = 0.92) -> DataFrame:
         & ~veto
         & ~ssn_conflict
         # with the first name missing, near-miss dobs are pure
-        # name-collision bait — demand exact dob agreement
+        # name-collision bait — demand exact dob agreement and a
+        # non-contradicting sex (different-sex twins share last name +
+        # dob and one blanked first name is all it takes otherwise)
         & (jf.isNull() | (jf >= 0.78))
-        & (jf.isNotNull() | (dob == 1.0))
+        & (jf.isNotNull() | ((dob == 1.0) & sex_compat))
         # a high score with NO hard identifier present (no dob on a
         # side, no ssn pair) is just agreeing names — not enough
         & (dob.isNotNull() | (F.col("l_ssn_digits").isNotNull() & F.col("r_ssn_digits").isNotNull()))
@@ -209,6 +240,10 @@ def tiered_match(scored: DataFrame, threshold: float = 0.92) -> DataFrame:
             ((jf >= 0.9) & (dob >= 0.875) & mid_compat)
             | ((jf >= 0.95) & (dob >= 0.55) & (mid == 1.0))
             | ((jf >= 0.95) & (dob >= 0.55) & geo_exact & mid_compat)
+            # near-exact names + one mangled dob segment, birth year
+            # agreeing within the misreport_age spread (the swap/typo'd-
+            # digit dob class when no geo/ssn/middle is available)
+            | ((jf >= 0.95) & (dob >= 0.75) & byear_agree & mid_compat)
         )
     )
     # tier 6: last name blanked on a side — first+dob exact with

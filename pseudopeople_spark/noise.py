@@ -31,6 +31,7 @@ def noise_dataset(
     config: "Mapping[str, Any]",
     seed: int = 0,
     key_col: str = "record_id",
+    scale_by_eligibility: bool = True,
 ) -> DataFrame:
     """Apply the dataset's full noise plan. ``config`` is the resolved
     per-dataset tree from :func:`pseudopeople_spark.config.get_config`.
@@ -89,7 +90,10 @@ def noise_dataset(
                 df = cn.choose_wrong_option(df, col.name, key_col, options=col.options, p=p, seed=seed)
             elif nt == D.COPY_FROM_HOUSEHOLD_MEMBER:
                 if col.copy_column and col.copy_column in df.columns:
-                    df = cn.copy_from_household_member(df, col.name, key_col, col.copy_column, p=p, seed=seed)
+                    df = cn.copy_from_household_member(
+                        df, col.name, key_col, col.copy_column, p=p, seed=seed,
+                        scale_by_eligibility=scale_by_eligibility,
+                    )
             elif nt == D.SWAP_MONTH_AND_DAY:
                 df = cn.swap_month_and_day(df, col.name, key_col, date_format=spec.date_format, p=p, seed=seed)
             elif nt == D.WRITE_WRONG_ZIPCODE_DIGITS:
@@ -106,7 +110,10 @@ def noise_dataset(
             elif nt == D.WRITE_WRONG_DIGITS:
                 df = cn.write_wrong_digits(df, col.name, key_col, p=p, token_probability=tp, seed=seed)
             elif nt == D.USE_NICKNAME:
-                df = cn.use_nickname(df, col.name, key_col, assets.NICKNAMES, p=p, seed=seed)
+                df = cn.use_nickname(
+                    df, col.name, key_col, assets.NICKNAMES, p=p, seed=seed,
+                    scale_by_eligibility=scale_by_eligibility,
+                )
             elif nt == D.USE_FAKE_NAME:
                 fakes = assets.FAKE_FIRST_NAMES if "first" in col.name or "middle" in col.name else assets.FAKE_LAST_NAMES
                 df = cn.use_fake_name(df, col.name, key_col, fakes, p=p, seed=seed)

@@ -57,7 +57,13 @@ def _eligibility_scaled(
     eligible cells (name has a nickname / household member has a value)
     can change (noise_scaling.py:26-45). Realized lazily as
     ``crossJoin(broadcast(1-row aggregate))`` — one extra pass over the
-    input, no collect, plan stays a single DAG."""
+    input, no collect, plan stays a single DAG.
+
+    Streaming plans cannot host an unwatermarked global aggregate, so a
+    streaming input applies ``p`` directly to eligible cells — the
+    documented (slightly conservative) streaming semantics."""
+    if df.isStreaming:
+        return df, F.lit(p)
     stats = df.agg(
         (F.sum(eligible.cast("double")) / F.sum(notna.cast("double"))).alias(tag)
     )
@@ -111,6 +117,7 @@ def copy_from_household_member(
     p: float = 0.01,
     seed: int = 0,
     u01: U01 = hash_u01,
+    scale_by_eligibility: bool = True,
 ) -> DataFrame:
     """Replace the value with the shadow copy_* column carrying another
     household member's value (reference noise_functions.py:344-362;
@@ -121,7 +128,10 @@ def copy_from_household_member(
     (noise_scaling.py:37-45)."""
     notna = F.col(column).isNotNull() & (F.col(column).cast("string") != "")
     eligible = notna & F.col(copy_column).isNotNull()
-    df, p_eff = _eligibility_scaled(df, p, eligible, notna, "__copy_prop")
+    if scale_by_eligibility:
+        df, p_eff = _eligibility_scaled(df, p, eligible, notna, "__copy_prop")
+    else:
+        p_eff = F.lit(p)
     mask = _base_mask(
         df, column, key_col, p_eff, seed, f"copy_from_household_member_{column}", u01,
         required=[copy_column],
@@ -259,6 +269,7 @@ def use_nickname(
     p: float = 0.01,
     seed: int = 0,
     u01: U01 = hash_u01,
+    scale_by_eligibility: bool = True,
 ) -> DataFrame:
     """Names with a known nickname set are replaced by a uniform
     nickname choice (reference ``use_nicknames``,
@@ -275,7 +286,10 @@ def use_nickname(
     arr = F.col("__nick_arr")
     notna = F.col(column).isNotNull() & (F.col(column).cast("string") != "")
     # scale by 1/proportion-have-nickname (noise_scaling.py:26-34)
-    joined, p_eff = _eligibility_scaled(joined, p, notna & arr.isNotNull(), notna, "__nick_prop")
+    if scale_by_eligibility:
+        joined, p_eff = _eligibility_scaled(joined, p, notna & arr.isNotNull(), notna, "__nick_prop")
+    else:
+        p_eff = F.lit(p)
     mask = _base_mask(joined, column, key_col, p_eff, seed, f"use_nickname_{column}", u01) & arr.isNotNull()
     u_pick = u01(F.col(key_col), seed, f"use_nickname_pick_{column}")
     pick = F.element_at(arr, (F.floor(u_pick * F.size(arr)) + 1).cast("int"))

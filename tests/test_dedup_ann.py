@@ -76,7 +76,11 @@ def test_streaming_noise_matches_batch(spark, tmp_path):
     streamed = spark.read.parquet(out)
 
     batch_cfg = {**cfg}
-    batch = noise.noise_dataset(spark.read.parquet(src), D.DECENNIAL_CENSUS, batch_cfg, seed=6)
+    # streams can't host the eligibility-scaling aggregate -> compare
+    # against the batch plan under the same streaming semantics
+    batch = noise.noise_dataset(
+        spark.read.parquet(src), D.DECENNIAL_CENSUS, batch_cfg, seed=6, scale_by_eligibility=False
+    )
     # guardian duplication is excluded on the stream; exclude from batch compare
     batch = batch.where(~F.col("record_id").endswith("_dup"))
     assert streamed.exceptAll(batch).count() == 0
