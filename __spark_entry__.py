@@ -6,12 +6,14 @@
 ``queries()``        — one entry per implemented operator family
                        (SURVEY.md §2 + training-data-pipeline ops), each
                        runnable on the provided TPC-H-ish tables.
-``oracle_sql()``     — DuckDB-equivalent SQL per query. Noise operators
-                       use the PORTABLE CRN (pseudopeople_spark.crn
-                       portable_u01) so DuckDB replays the exact draws.
-                       Non-SQL-expressible ops (soundex blocks, MinHash
-                       banding, streaming) omit the oracle -> rows-only
-                       check.
+``oracle_sql()``     — DuckDB-equivalent SQL for EVERY query. Noise
+                       operators use the PORTABLE CRN
+                       (pseudopeople_spark.crn portable_u01) so DuckDB
+                       replays the exact draws; hash-based operators
+                       (soundex, MinHash, SimHash, LSH ANN) run
+                       dialect-parametrized SQL from
+                       pseudopeople_spark.functions.portable that
+                       computes bit-identical results in both engines.
 """
 
 from __future__ import annotations
@@ -868,6 +870,21 @@ def minhash_bands(spark, sf_dir):
     same shape)."""
     _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(PT.minhash_bands_sql(PT.SPARK))
+
+
+@_q("dedup_embedding_cosine", PT.embedding_near_dup_sql(PT.DUCKDB, threshold=0.3))
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs — candidates restricted to
+    same signed-random-projection LSH bucket (16 buckets from 4
+    deterministic hyperplanes), unit-normalized scan side so the pair
+    dot product IS the cosine. Bucket assignment is scan-side; the
+    bucket equi-join is the one shuffle (the 100 TB embedding-dedup
+    shape). Oracle replays buckets + sims value-exact in DuckDB. The
+    synthetic embeddings are near-orthogonal (max pairwise cosine ~0.5),
+    so the threshold sits at the ~99th percentile to exercise the
+    operator; a production near-dup run sets ~0.95."""
+    _t(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(PT.embedding_near_dup_sql(PT.SPARK, threshold=0.3))
 
 
 @_q(

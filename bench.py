@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "noise_wrong_zipcode",
     "noise_omit_row",
     "streaming_window_agg",
+    "media_ref_extract",
 ]
 
 

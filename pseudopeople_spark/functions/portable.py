@@ -268,6 +268,42 @@ def _hyperplane_weight(d: Dialect, j: "int | str", dim_var: str) -> str:
     return f"(CAST((({idx})*48271 + 11) % {MINSTD_M} AS DOUBLE)/{MINSTD_M}.0 - 0.5)"
 
 
+def embedding_near_dup_sql(d: Dialect, n_planes: int = 4, threshold: float = 0.95) -> str:
+    """(id_l, id_r, sim) embedding-cosine near-duplicate pairs,
+    candidates restricted to same-LSH-bucket vectors (2^n_planes
+    buckets) — the embedding-dedup modality of the training-data
+    pipeline. Same deterministic hyperplanes as :func:`ann_lsh_topk_sql`
+    so both engines produce identical buckets, sims and pairs."""
+    def plane_dot(j: int) -> str:
+        w = _hyperplane_weight(d, j, "i")
+        prods = d.transform(
+            d.seq("1", "n_dim"), "i", f"e[{'i' if d.name == 'duckdb' else 'i - 1'}] * {w}"
+        )
+        return d.reduce_("(" + prods + ")", "CAST(0 AS DOUBLE)", "acc", "x", "acc + x")
+
+    bucket = "(" + " + ".join(
+        f"(CASE WHEN {plane_dot(j)} > 0 THEN {1 << j} ELSE 0 END)" for j in range(n_planes)
+    ) + ")"
+    idx = "i" if d.name == "duckdb" else "i - 1"
+    dot_lr = d.reduce_(
+        "(" + d.transform(d.seq("1", "l.n_dim"), "i", f"l.ue[{idx}] * r.ue[{idx}]") + ")",
+        "CAST(0 AS DOUBLE)", "acc", "x", "acc + x",
+    )
+    # unit-normalized scan side: the pair dot IS the cosine
+    unit = d.transform(
+        "e", "x",
+        "x / sqrt(" + d.reduce_("e", "CAST(0 AS DOUBLE)", "acc", "y", "acc + y*y") + ")",
+    )
+    return (
+        f"WITH vecs AS (SELECT vec_id, {unit} AS ue, n_dim, {bucket} AS bucket FROM "
+        f"(SELECT vec_id, {d.transform('embedding', 'x', 'CAST(x AS DOUBLE)')} AS e, "
+        f"{'len(embedding)' if d.name == 'duckdb' else 'size(embedding)'} AS n_dim FROM embeddings)) "
+        f"SELECT l.vec_id AS id_l, r.vec_id AS id_r, round({dot_lr}, 4) AS sim "
+        f"FROM vecs l JOIN vecs r ON l.bucket = r.bucket "
+        f"WHERE l.vec_id < r.vec_id AND round({dot_lr}, 4) >= {threshold!r}"
+    )
+
+
 def ann_lsh_topk_sql(d: Dialect, n_planes: int = 4, k: int = 10,
                      n_queries: int = 5, probe_flips: bool = True) -> str:
     """(qid, cid, sim): cosine top-k where candidates are restricted to

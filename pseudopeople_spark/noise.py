@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Any, Mapping
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from pseudopeople_spark import datasets as D
 from pseudopeople_spark.operators import assets
@@ -66,6 +67,49 @@ def noise_dataset(
             if p > 0:
                 df = rn.omit_rows(df, key_col, p=p, seed=seed)
 
+    # --- eligibility-scaling proportions (reference noise_scaling.py:
+    # 26-45): ONE aggregate over the row-noised data computes every
+    # proportion the scaled operators need, crossJoined ONCE as a
+    # broadcast 1-row frame. (A per-operator crossJoin(agg(self))
+    # doubles the self-referencing plan per operator — taxes_1040 has 6
+    # copy-noise columns and the analyzer's DeduplicateRelations then
+    # walks 2^k duplicated subtrees; observed as a 30-minute analysis.)
+    # Streaming plans cannot host an unwatermarked global aggregate, so
+    # streams apply p to eligible cells directly (documented,
+    # conservative).
+    prop_aggs = []
+    prop_cols: "dict[tuple[str, str], str]" = {}
+    if scale_by_eligibility and not df.isStreaming:
+        nick_names = list(assets.NICKNAMES)
+        for col in spec.columns:
+            c_cfg = col_cfg.get(col.name, {})
+            if col.name not in df.columns:
+                continue
+            notna = F.col(col.name).isNotNull() & (F.col(col.name).cast("string") != "")
+            if (
+                D.COPY_FROM_HOUSEHOLD_MEMBER in c_cfg
+                and c_cfg[D.COPY_FROM_HOUSEHOLD_MEMBER].get("cell_probability", 0.0) > 0
+                and col.copy_column and col.copy_column in df.columns
+            ):
+                tag = f"__prop_copy_{col.name}"
+                prop_aggs.append(
+                    cn.eligibility_proportion_expr(notna & F.col(col.copy_column).isNotNull(), notna, tag)
+                )
+                prop_cols[(col.name, D.COPY_FROM_HOUSEHOLD_MEMBER)] = tag
+            if (
+                D.USE_NICKNAME in c_cfg
+                and c_cfg[D.USE_NICKNAME].get("cell_probability", 0.0) > 0
+            ):
+                tag = f"__prop_nick_{col.name}"
+                # isin over the 1,080 table keys compiles to an InSet —
+                # same eligibility as the broadcast join, no plan growth
+                prop_aggs.append(
+                    cn.eligibility_proportion_expr(notna & F.col(col.name).isin(nick_names), notna, tag)
+                )
+                prop_cols[(col.name, D.USE_NICKNAME)] = tag
+    if prop_aggs:
+        df = df.crossJoin(F.broadcast(df.agg(*prop_aggs)))
+
     # --- column noise, declaration order per column. Token noise
     # (phonetic/OCR/typos) is collected across ALL columns and applied
     # through ONE pandas UDF at the end — token ops are the last ops in
@@ -92,7 +136,7 @@ def noise_dataset(
                 if col.copy_column and col.copy_column in df.columns:
                     df = cn.copy_from_household_member(
                         df, col.name, key_col, col.copy_column, p=p, seed=seed,
-                        scale_by_eligibility=scale_by_eligibility,
+                        proportion_col=prop_cols.get((col.name, nt)),
                     )
             elif nt == D.SWAP_MONTH_AND_DAY:
                 df = cn.swap_month_and_day(df, col.name, key_col, date_format=spec.date_format, p=p, seed=seed)
@@ -112,7 +156,7 @@ def noise_dataset(
             elif nt == D.USE_NICKNAME:
                 df = cn.use_nickname(
                     df, col.name, key_col, assets.NICKNAMES, p=p, seed=seed,
-                    scale_by_eligibility=scale_by_eligibility,
+                    proportion_col=prop_cols.get((col.name, nt)),
                 )
             elif nt == D.USE_FAKE_NAME:
                 fakes = assets.FAKE_FIRST_NAMES if "first" in col.name or "middle" in col.name else assets.FAKE_LAST_NAMES

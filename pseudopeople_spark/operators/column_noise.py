@@ -49,26 +49,22 @@ def _apply(df: DataFrame, column: str, mask: Column, noised: Column) -> DataFram
     return df.withColumn(column, F.when(mask, noised).otherwise(F.col(column)))
 
 
-def _eligibility_scaled(
-    df: DataFrame, p: float, eligible: Column, notna: Column, tag: str
-) -> "tuple[DataFrame, Column]":
-    """The reference scales cell_probability by 1/proportion-eligible so
-    the OBSERVED change rate over all cells stays at p even though only
-    eligible cells (name has a nickname / household member has a value)
-    can change (noise_scaling.py:26-45). Realized lazily as
-    ``crossJoin(broadcast(1-row aggregate))`` — one extra pass over the
-    input, no collect, plan stays a single DAG.
+def eligibility_proportion_expr(eligible: Column, notna: Column, tag: str) -> Column:
+    """One aggregate expression: proportion of non-missing cells that
+    are eligible for a scaled noise type (the reference's scaling
+    denominators, noise_scaling.py:26-45). ALL such proportions for a
+    dataset are computed in a SINGLE ``df.agg(...)`` crossJoined once
+    onto the data (see noise.noise_dataset): a per-operator
+    ``crossJoin(agg(self))`` doubles the self-referencing plan per
+    operator — taxes_1040 has 6 copy-noise columns, and the analyzer's
+    DeduplicateRelations walks the resulting 2^k duplicated subtrees."""
+    return (F.sum(eligible.cast("double")) / F.sum(notna.cast("double"))).alias(tag)
 
-    Streaming plans cannot host an unwatermarked global aggregate, so a
-    streaming input applies ``p`` directly to eligible cells — the
-    documented (slightly conservative) streaming semantics."""
-    if df.isStreaming:
-        return df, F.lit(p)
-    stats = df.agg(
-        (F.sum(eligible.cast("double")) / F.sum(notna.cast("double"))).alias(tag)
-    )
-    scaled = F.least(F.lit(1.0), F.lit(p) / F.col(tag))
-    return df.crossJoin(F.broadcast(stats)), scaled
+
+def _scaled_p(p: float, proportion_col: "str | None") -> "Column | float":
+    if proportion_col is None:
+        return p
+    return F.least(F.lit(1.0), F.lit(p) / F.col(proportion_col))
 
 
 def leave_blank(
@@ -117,26 +113,21 @@ def copy_from_household_member(
     p: float = 0.01,
     seed: int = 0,
     u01: U01 = hash_u01,
-    scale_by_eligibility: bool = True,
+    proportion_col: "str | None" = None,
 ) -> DataFrame:
     """Replace the value with the shadow copy_* column carrying another
     household member's value (reference noise_functions.py:344-362;
     shadow-column map constants/noise_type_metadata.py:17-26).
     Rows with no eligible household member (copy column null) are never
-    selected; the rate on eligible rows is scaled by 1/proportion-
-    eligible so the overall change rate stays at p
-    (noise_scaling.py:37-45)."""
-    notna = F.col(column).isNotNull() & (F.col(column).cast("string") != "")
-    eligible = notna & F.col(copy_column).isNotNull()
-    if scale_by_eligibility:
-        df, p_eff = _eligibility_scaled(df, p, eligible, notna, "__copy_prop")
-    else:
-        p_eff = F.lit(p)
+    selected; when ``proportion_col`` names a precomputed eligibility
+    proportion, the rate on eligible rows is scaled by 1/proportion so
+    the overall change rate stays at p (noise_scaling.py:37-45)."""
+    p_eff = _scaled_p(p, proportion_col)
     mask = _base_mask(
         df, column, key_col, p_eff, seed, f"copy_from_household_member_{column}", u01,
         required=[copy_column],
     )
-    return _apply(df, column, mask, F.col(copy_column).cast(df.schema[column].dataType)).drop("__copy_prop")
+    return _apply(df, column, mask, F.col(copy_column).cast(df.schema[column].dataType))
 
 
 def swap_month_and_day(
@@ -269,14 +260,16 @@ def use_nickname(
     p: float = 0.01,
     seed: int = 0,
     u01: U01 = hash_u01,
-    scale_by_eligibility: bool = True,
+    proportion_col: "str | None" = None,
 ) -> DataFrame:
     """Names with a known nickname set are replaced by a uniform
     nickname choice (reference ``use_nicknames``,
     noise_functions.py:555-582; 2-D choice kernel utilities.py:129-171).
     The nickname table is tiny -> BROADCAST hash join (a map/array
     literal would be re-constructed per row — CreateMap isn't constant-
-    folded — which measured ~10s/1M rows; the broadcast join is free)."""
+    folded — which measured ~10s/1M rows; the broadcast join is free).
+    ``proportion_col`` (precomputed, see noise.noise_dataset) applies
+    the 1/proportion-have-nickname scaling (noise_scaling.py:26-34)."""
     spark = df.sparkSession
     rows = [(name, list(nicks)) for name, nicks in nicknames.items()]
     nick_df = F.broadcast(
@@ -284,16 +277,11 @@ def use_nickname(
     )
     joined = df.join(nick_df, F.col(column) == F.col("__nick_name"), "left")
     arr = F.col("__nick_arr")
-    notna = F.col(column).isNotNull() & (F.col(column).cast("string") != "")
-    # scale by 1/proportion-have-nickname (noise_scaling.py:26-34)
-    if scale_by_eligibility:
-        joined, p_eff = _eligibility_scaled(joined, p, notna & arr.isNotNull(), notna, "__nick_prop")
-    else:
-        p_eff = F.lit(p)
+    p_eff = _scaled_p(p, proportion_col)
     mask = _base_mask(joined, column, key_col, p_eff, seed, f"use_nickname_{column}", u01) & arr.isNotNull()
     u_pick = u01(F.col(key_col), seed, f"use_nickname_pick_{column}")
     pick = F.element_at(arr, (F.floor(u_pick * F.size(arr)) + 1).cast("int"))
-    return _apply(joined, column, mask, pick).drop("__nick_name", "__nick_arr", "__nick_prop")
+    return _apply(joined, column, mask, pick).drop("__nick_name", "__nick_arr")
 
 
 def use_fake_name(
