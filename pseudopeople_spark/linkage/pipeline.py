@@ -32,6 +32,13 @@ from pseudopeople_spark.linkage.metrics import pairwise_f1_on_candidates
 @dataclass
 class ResolveConfig:
     threshold: float = 0.92
+    # pseudopeople-style extracts carry each entity at most ONCE per
+    # dataset-period (one census row per simulant per year), so a pair
+    # WITHIN one dataset can only be a guardian-duplication twin
+    # (record_id + "_dup") — every other same-dataset pair is a
+    # different entity by construction. Set False for dedup-style
+    # workloads where one source may repeat an entity.
+    unique_within_dataset: bool = True
     max_block_size: int = 100
     minhash_bands: int = 4
     minhash_rows: int = 2
@@ -41,8 +48,8 @@ class ResolveConfig:
     checkpoint_dir: "str | None" = None
 
 
-CANONICAL_FIELDS = ["first_name", "first_variants", "middle", "last_name", "dob", "byear",
-                    "ssn_digits", "zipcode", "city", "state", "sex"]
+CANONICAL_FIELDS = ["dataset", "first_name", "first_variants", "middle", "last_name", "dob",
+                    "byear", "ssn_digits", "zipcode", "city", "state", "sex"]
 
 
 def _dob_digits(col: Column, fmt: str) -> Column:
@@ -252,11 +259,11 @@ def resolve(
         keep = ["id_l", "id_r", "score", "sim_first_name", "sim_last_name", "sim_dob",
                 "sim_middle", "sim_zipcode", "sim_city", "sim_sex",
                 "l_first_name", "r_first_name", "l_ssn_digits", "r_ssn_digits",
-                "l_byear", "r_byear"]
+                "l_byear", "r_byear", "l_dataset", "r_dataset"]
         return scoring.score_pairs(with_fields).select(*keep)
 
     scored = _timed("scoring", _scored)
-    edges = scoring.match_edges(scored, cfg.threshold)
+    edges = scoring.match_edges(scored, cfg.threshold, same_dataset_distinct=cfg.unique_within_dataset)
     assignments = _timed("clustering", lambda: cluster_records(edges, records))
 
     out = {

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pseudopeople_spark.functions.similarity import jaro_winkler_udf
@@ -76,7 +76,12 @@ def _variant_aware_first_sim(base: Column) -> Column:
     the disagreement veto but never the exact-name fast paths). All
     JVM expressions; arrays are tiny (median 1, max ~20)."""
     lv, rv = F.col("l_first_variants"), F.col("r_first_variants")
-    overlap = F.when(F.arrays_overlap(lv, rv), F.lit(0.95))
+    # 0.93: clears the disagreement veto (0.7) and the 0.85/0.9 tiers
+    # (which all demand further corroboration), but NOT the jf>=0.95
+    # name-only tiers — at 20k+ simulants, family-linked DIFFERENT
+    # people (JOSEPH/JOSHUA, ANNA/HANNAH) are common enough that
+    # variant overlap alone must never count as near-exact identity
+    overlap = F.when(F.arrays_overlap(lv, rv), F.lit(0.93))
     cross = F.flatten(
         F.transform(
             lv,
@@ -127,7 +132,9 @@ def dob_similarity(a: Column, b: Column) -> Column:
     )
 
 
-def tiered_match(scored: DataFrame, threshold: float = 0.92) -> DataFrame:
+def tiered_match(
+    scored: DataFrame, threshold: float = 0.92, same_dataset_distinct: bool = False
+) -> DataFrame:
     """Decision layer on top of the similarity vector — a deterministic
     rule cascade, each tier motivated by one of the reference's noise
     channels, with the weighted score as the probabilistic fallback:
@@ -167,15 +174,21 @@ def tiered_match(scored: DataFrame, threshold: float = 0.92) -> DataFrame:
         + (F.col("sim_zipcode").isNotNull()).cast("int")
         + (F.col("l_ssn_digits").isNotNull() & F.col("r_ssn_digits").isNotNull()).cast("int")
     )
-    veto = jf.isNotNull() & (jf < 0.7)
-    # SSN disagreement is strong negative evidence: a same-person pair
-    # differs by at most a couple of noised digits, while different
-    # people share no digits beyond chance. Conflict blocks tiers 2-6
-    # (tier 1 requires exactness anyway).
+    # 0.65: low enough that a single in-name typo on a short name
+    # (PAVI/PAUL ~ 0.67) doesn't hard-refute a pair that other fields
+    # support; different-person first names in the same block sit ~0.5
+    veto = jf.isNotNull() & (jf < 0.65)
+    # SSN disagreement is strong negative evidence — but the threshold
+    # must sit ABOVE the noise channel's tail: write_wrong_digits at
+    # token_probability 0.1 corrupts >=3 of 9 digits on ~6% of noised
+    # cells (true pairs!), while different people's SSNs differ by ~7+
+    # digits. lev > 4 keeps ~99.9% of noised true pairs and still
+    # refutes every random pair. Conflict blocks tiers 2-6 (tier 1
+    # requires exactness anyway).
     ssn_conflict = (
         F.col("l_ssn_digits").isNotNull()
         & F.col("r_ssn_digits").isNotNull()
-        & (F.levenshtein("l_ssn_digits", "r_ssn_digits") > 2)
+        & (F.levenshtein("l_ssn_digits", "r_ssn_digits") > 4)
     )
     # tier 1: SSN agreement, corroborated. The corroboration matters:
     # copy_from_household_member puts a RELATIVE's ssn on 1% of tax rows,
@@ -190,13 +203,31 @@ def tiered_match(scored: DataFrame, threshold: float = 0.92) -> DataFrame:
     # birth-year evidence (from the dob, or reconstructed ref_year-age):
     # agreement within the misreport_age spread supports a match; a gap
     # beyond any noise channel refutes one
-    byear_diff = F.abs(F.col("l_byear").cast("int") - F.col("r_byear").cast("int"))
+    def _sane_byear(c: str):
+        y = F.col(c).cast("int")
+        # digit noise produces absurd years (7013, 1763) — treat as
+        # missing rather than as refuting evidence
+        return F.when((y >= 1850) & (y <= 2100), y)
+
+    byear_diff = F.abs(_sane_byear("l_byear") - _sane_byear("r_byear"))
     byear_agree = F.coalesce(byear_diff <= 2, F.lit(False))
     byear_conflict = F.coalesce(byear_diff > 5, F.lit(False))
     tier1 = ssn_exact & (
         (jf >= 0.85)
         | ((dob >= 0.85) & ~veto)
         | ((jl >= 0.85) & (jf.isNull() | dob.isNull()) & (dob.isNull() | (dob >= 0.55)) & ~veto)
+    )
+    # near-exact SSN (<=2 noised digits — write_wrong_digits at its
+    # default rate leaves ~94% of noised SSNs within 2) with the same
+    # corroboration: random SSN pairs differ by ~7+ digits, so lev<=2
+    # is still ~1-in-10^5 evidence
+    ssn_near = (
+        F.col("l_ssn_digits").isNotNull()
+        & (F.length("l_ssn_digits") == 9)
+        & (F.levenshtein("l_ssn_digits", "r_ssn_digits") <= 2)
+    )
+    tier1b = ssn_near & (
+        (jf >= 0.85) | ((dob >= 0.85) & ~veto) | ((jl >= 0.85) & ~veto & (dob >= 0.55))
     )
     # tier 2: dob agreement (incl. month/day swap) + strong last name +
     # first agrees or is missing (blank/fake-name noise); a missing
@@ -223,9 +254,11 @@ def tiered_match(scored: DataFrame, threshold: float = 0.92) -> DataFrame:
         & (dob.isNotNull() | (F.col("l_ssn_digits").isNotNull() & F.col("r_ssn_digits").isNotNull()))
     )
     # tier 4: dob missing on one side (leave_blank) — near-exact names
-    # + independent corroboration
+    # + independent corroboration. 0.94 on the first name sits ABOVE
+    # the 0.93 nickname-family grants (a family overlap alone must not
+    # qualify as near-exact) while admitting one-typo names.
     tier4 = (
-        dob.isNull() & (jf >= 0.95) & (jl >= 0.95)
+        dob.isNull() & (jf >= 0.94) & (jl >= 0.95)
         & ((mid == 1.0) | geo_exact | byear_agree) & ~byear_conflict
         & ~veto & sex_compat & ~ssn_conflict & ~geo_conflict
     )
@@ -240,27 +273,104 @@ def tiered_match(scored: DataFrame, threshold: float = 0.92) -> DataFrame:
             ((jf >= 0.9) & (dob >= 0.875) & mid_compat)
             | ((jf >= 0.95) & (dob >= 0.55) & (mid == 1.0))
             | ((jf >= 0.95) & (dob >= 0.55) & geo_exact & mid_compat)
-            # near-exact names + one mangled dob segment, birth year
-            # agreeing within the misreport_age spread (the swap/typo'd-
-            # digit dob class when no geo/ssn/middle is available)
-            | ((jf >= 0.95) & (dob >= 0.75) & byear_agree & mid_compat)
+            # NOTE deliberately NO (names + dob~0.75 + byear) arm: at
+            # 20k simulants that signature is genuinely ambiguous —
+            # same-name same-birth-year DIFFERENT people with a
+            # 2-char dob difference are as common as true pairs whose
+            # dob took one corrupted segment (measured +209 FP / +150
+            # TP at 20k) — precision loses more than recall gains.
         )
     )
     # tier 6: last name blanked on a side — first+dob exact with
     # non-contradicting middle/sex (child records appear only in
     # census+ssa, where dob is the main identifier)
     tier6 = jl.isNull() & (jf >= 0.95) & (dob == 1.0) & mid_compat & sex_compat & ~ssn_conflict
-    return scored.withColumn(
-        "is_match",
+    is_match = (
         F.coalesce(tier1, F.lit(False))
+        | F.coalesce(tier1b, F.lit(False))
         | F.coalesce(tier2, F.lit(False))
         | F.coalesce(tier3, F.lit(False))
         | F.coalesce(tier4, F.lit(False))
         | F.coalesce(tier5, F.lit(False))
-        | F.coalesce(tier6, F.lit(False)),
+        | F.coalesce(tier6, F.lit(False))
     )
+    if same_dataset_distinct and "l_dataset" in scored.columns:
+        # Within ONE extract period an entity appears at most once (one
+        # census row per simulant per year, reference interface.py), so
+        # a same-dataset pair is a different entity BY CONSTRUCTION —
+        # except a guardian-duplication twin, whose record_id is the
+        # original's + "_dup". Cluster merges are the costly error class
+        # (one bad edge turns every cross-pair of two clusters into an
+        # FP), and same-household same-name kin are exactly the pairs
+        # this hard constraint removes.
+        dup_twin = (F.col("id_r") == F.concat(F.col("id_l"), F.lit("_dup"))) | (
+            F.col("id_l") == F.concat(F.col("id_r"), F.lit("_dup"))
+        )
+        is_match = is_match & ((F.col("l_dataset") != F.col("r_dataset")) | dup_twin)
+    return scored.withColumn("is_match", is_match)
 
 
-def match_edges(scored: DataFrame, threshold: float = 0.92) -> DataFrame:
-    """Tiered match decision -> edges for the clustering stage."""
-    return tiered_match(scored, threshold).where(F.col("is_match")).select("id_l", "id_r", "score")
+def prune_edges_by_ssn_consensus(edges: DataFrame) -> DataFrame:
+    """Identifier-consensus pruning — the cluster-hygiene pass that
+    keeps one bad name/dob edge from merging two whole entity clusters
+    (every cross-pair of a bad merge is a false positive, a ~3.5x
+    amplification measured at 20k simulants).
+
+    A record WITHOUT an SSN (census) accumulates the SSNs of its
+    matched partners (w2/ssa) as votes. When its partners disagree, the
+    true partners share the entity's one SSN while a same-household
+    look-alike brings a different one — so edges carrying a STRICT-
+    minority SSN are dropped (ties keep everything: no evidence which
+    side is wrong). Measured on 20k simulants: 24 edges dropped, all
+    false, cluster-pair FPs 381 -> 234.
+
+    Shuffle cost: two small aggregations + one broadcast-ish join on
+    the EDGE set (already tiny relative to records)."""
+    one_sided = (
+        edges.where(F.col("l_ssn_digits").isNull() & F.col("r_ssn_digits").isNotNull())
+        .select(F.col("id_l").alias("bare_id"), F.col("r_ssn_digits").alias("partner_ssn"))
+        .unionByName(
+            edges.where(F.col("r_ssn_digits").isNull() & F.col("l_ssn_digits").isNotNull())
+            .select(F.col("id_r").alias("bare_id"), F.col("l_ssn_digits").alias("partner_ssn"))
+        )
+    )
+    votes = one_sided.groupBy("bare_id", "partner_ssn").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("bare_id").orderBy(F.desc("n"), "partner_ssn")
+    ranked = votes.withColumn("rn", F.row_number().over(w))
+    top = ranked.where(F.col("rn") == 1).select("bare_id", F.col("partner_ssn").alias("top_ssn"), F.col("n").alias("top_n"))
+    second = ranked.where(F.col("rn") == 2).select("bare_id", F.col("n").alias("second_n"))
+    winners = (
+        top.join(second, "bare_id", "left")
+        .where(F.col("top_n") > F.coalesce(F.col("second_n"), F.lit(0)))
+        .select("bare_id", "top_ssn")
+    )
+    bare_id = F.when(
+        F.col("l_ssn_digits").isNull() & F.col("r_ssn_digits").isNotNull(), F.col("id_l")
+    ).when(F.col("r_ssn_digits").isNull() & F.col("l_ssn_digits").isNotNull(), F.col("id_r"))
+    partner_ssn = F.coalesce(F.col("l_ssn_digits"), F.col("r_ssn_digits"))
+    out = (
+        edges.withColumn("__bare", bare_id)
+        .join(winners, F.col("__bare") == F.col("bare_id"), "left")
+        .where(
+            F.col("top_ssn").isNull()  # no disagreement / not one-sided
+            | (partner_ssn == F.col("top_ssn"))
+        )
+    )
+    return out.select(*edges.columns).drop("__bare")
+
+
+def match_edges(
+    scored: DataFrame,
+    threshold: float = 0.92,
+    same_dataset_distinct: bool = False,
+    ssn_consensus: bool = True,
+) -> DataFrame:
+    """Tiered match decision (+ identifier-consensus pruning) -> edges
+    for the clustering stage."""
+    edges = tiered_match(scored, threshold, same_dataset_distinct).where(F.col("is_match"))
+    keep = ["id_l", "id_r", "score"]
+    if ssn_consensus and "l_ssn_digits" in edges.columns:
+        edges = prune_edges_by_ssn_consensus(
+            edges.select(*keep, "l_ssn_digits", "r_ssn_digits")
+        )
+    return edges.select(*keep)

@@ -64,3 +64,30 @@ def test_token_set_ratio(spark):
     rows = df.select(token_set_ratio_udf("a", "b").alias("s")).collect()
     assert abs(rows[0]["s"] - 2 / 3) < 1e-12
     assert rows[1]["s"] == 0.0
+
+
+def test_ssn_consensus_pruning(spark):
+    """Identifier-consensus edge pruning (scoring.prune_edges_by_ssn_
+    consensus): a bare-SSN record whose partners disagree keeps only
+    strict-majority-SSN edges; ties keep everything."""
+    from pseudopeople_spark.linkage.scoring import prune_edges_by_ssn_consensus
+
+    rows = [
+        # census c1: two partners vote ssn A, one votes B -> B edge dropped
+        ("c1", "w1", 0.99, None, "111111111"),
+        ("c1", "s1", 0.99, None, "111111111"),
+        ("c1", "w9", 0.99, None, "222222222"),
+        # census c2: tie (1 vote each) -> both kept
+        ("c2", "w2", 0.95, None, "333333333"),
+        ("c2", "w3", 0.95, None, "444444444"),
+        # two-sided ssn edge: untouched
+        ("s1", "w1", 0.99, "111111111", "111111111"),
+        # census c3: single partner, no disagreement -> kept
+        ("c3", "w4", 0.93, None, "555555555"),
+    ]
+    edges = spark.createDataFrame(
+        rows, "id_l string, id_r string, score double, l_ssn_digits string, r_ssn_digits string"
+    )
+    kept = {(r["id_l"], r["id_r"]) for r in prune_edges_by_ssn_consensus(edges).collect()}
+    assert ("c1", "w9") not in kept
+    assert {("c1", "w1"), ("c1", "s1"), ("c2", "w2"), ("c2", "w3"), ("s1", "w1"), ("c3", "w4")} <= kept
