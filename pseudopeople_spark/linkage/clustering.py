@@ -80,6 +80,12 @@ def connected_components(
         e = e.repartition(parts).localCheckpoint()
     import concurrent.futures
 
+    # Speculative overlap only pays when rounds are expensive: on big
+    # edge sets the fingerprint of the PREVIOUS round runs concurrently
+    # with the next round's materialization (one serial action per round
+    # instead of two); on tiny graphs the wasted speculative round after
+    # convergence costs more than it saves.
+    speculate = n_edges >= 100_000
     prev_fp = None
     with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
         for i in range(max_iterations):
@@ -87,21 +93,24 @@ def connected_components(
             # of checkpoint+fingerprint jobs (the loop is task-launch-
             # bound on small edge sets; extra converged rounds are
             # idempotent)
-            nxt = _small_star(_large_star(e))
-            nxt = _small_star(_large_star(nxt))
-            # overlap the convergence check with the next round's
-            # materialization: the fingerprint of the PREVIOUS edge set
-            # runs on another thread while this round's checkpoint job
-            # executes — one serial action per round instead of two
-            # (star rounds are idempotent at the fixed point, so the
-            # speculative extra round after convergence is harmless)
-            fp_future = pool.submit(_fingerprint, e) if i > 0 else None
-            nxt = nxt.localCheckpoint()
-            fp = fp_future.result() if fp_future is not None else None
-            if fp is not None and fp == prev_fp:
-                break
-            prev_fp = fp
-            e = nxt
+            if speculate:
+                nxt = _small_star(_large_star(e))
+                nxt = _small_star(_large_star(nxt))
+                fp_future = pool.submit(_fingerprint, e) if i > 0 else None
+                nxt = nxt.localCheckpoint()
+                fp = fp_future.result() if fp_future is not None else None
+                if fp is not None and fp == prev_fp:
+                    break
+                prev_fp = fp
+                e = nxt
+            else:
+                e = _small_star(_large_star(e))
+                e = _small_star(_large_star(e))
+                e = e.localCheckpoint()
+                fp = _fingerprint(e)
+                if fp == prev_fp:
+                    break
+                prev_fp = fp
     # star edges now point node -> component min; include roots themselves
     assign = e.select(F.col("u"), F.col("v").alias("component"))
     roots = e.select(F.col("v").alias("u"), F.col("v").alias("component")).distinct()
