@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pseudopeople_spark.checkpoint import StageCheckpointer
-from pseudopeople_spark.operators.assets import FAKE_FIRST_NAMES, FAKE_LAST_NAMES, NICKNAMES
+from pseudopeople_spark.operators.assets import FAKE_FIRST_NAMES, FAKE_LAST_NAMES
 from pseudopeople_spark.linkage import blocking, pairs as pairgen, scoring
 from pseudopeople_spark.linkage.clustering import cluster_records
 from pseudopeople_spark.linkage.metrics import pairwise_f1_on_candidates
@@ -48,7 +48,7 @@ class ResolveConfig:
     checkpoint_dir: "str | None" = None
 
 
-CANONICAL_FIELDS = ["dataset", "first_name", "first_variants", "middle", "last_name", "dob",
+CANONICAL_FIELDS = ["dataset", "first_name", "middle", "last_name", "dob",
                     "byear", "ssn_digits", "zipcode", "city", "state", "sex"]
 
 
@@ -147,53 +147,19 @@ def normalize_records(
         clean(src("state")).alias("state"),
         clean(src("sex")).alias("sex"),
     )
-    # Nickname handling (the inverse of the use_nickname noise channel).
-    # The full 1,080-name table is a GRAPH, not a function: names map to
-    # each other (JUDITH <-> JUDY are each other's nicknames) and one
-    # nickname belongs to several canonical names (LISA is in both the
-    # ALICE and ELIZABETH families), so substituting "the" canonical
-    # corrupts names. Instead each record KEEPS its raw cleaned name and
-    # carries ``first_variants`` — the union of all nickname families
-    # containing it — attached via a BROADCAST join (a map literal of
-    # this size is rebuilt per row; CreateMap isn't constant-folded).
-    # The scorer treats overlapping variant sets as near-agreement.
-    out = out.join(
-        F.broadcast(_first_variants_df(df.sparkSession)),
-        out["__first_raw"] == F.col("__vname"),
-        "left",
-    )
+    # Nickname handling (the inverse of the use_nickname noise channel)
+    # does NOT substitute a canonical form: the full 1,080-name table is
+    # a GRAPH (JUDITH <-> JUDY are each other's nicknames; LISA is in
+    # both the ALICE and ELIZABETH families), so records keep the raw
+    # cleaned name and the SCORER applies nickname-family equivalence
+    # (scoring._nickname_families + similarity.make_first_name_sim_udf).
     first = F.when(F.col("__first_raw").rlike("[0-9]"), None).otherwise(  # OCR/typo garbage
         _strip_fakes(F.col("__first_raw"), FAKE_FIRST_NAMES)
     )
-    out = out.withColumn("first_name", first).withColumn(
-        "first_variants",
-        F.when(first.isNull(), None).otherwise(
-            F.coalesce(F.col("__vars"), F.array(first))
-        ),
-    )
-    cols = ["record_id", "dataset", "first_name", "first_variants", "middle", "last_name",
+    out = out.withColumn("first_name", first)
+    cols = ["record_id", "dataset", "first_name", "middle", "last_name",
             "dob", "byear", "ssn_digits", "zipcode", "city", "state", "sex"]
     return out.select(*cols)
-
-
-_VARIANTS_CACHE: "dict[int, object]" = {}
-
-
-def _first_variants_df(spark):
-    """(name, family-union array) for every name appearing in any
-    nickname family — broadcast-sized (~2,600 names)."""
-    key = id(spark)
-    if key not in _VARIANTS_CACHE:
-        fam: "dict[str, set]" = {}
-        for canon, nicks in NICKNAMES.items():
-            members = {canon.upper()} | {n.upper() for n in nicks}
-            for name in members:
-                fam.setdefault(name, set()).update(members)
-        rows = [(name, sorted(members)) for name, members in fam.items()]
-        _VARIANTS_CACHE[key] = spark.createDataFrame(
-            rows, "__vname string, __vars array<string>"
-        )
-    return _VARIANTS_CACHE[key]
 
 
 def candidate_blocks(records: DataFrame, cfg: ResolveConfig) -> DataFrame:

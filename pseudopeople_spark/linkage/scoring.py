@@ -67,47 +67,47 @@ def _sim(spec: FieldSpec) -> Column:
     return F.when(a.isNull() | b.isNull(), None).otherwise(s)
 
 
-def _variant_aware_first_sim(base: Column) -> Column:
-    """first-name similarity upgraded with the nickname-family variant
-    arrays (pipeline._first_variants_df): overlapping families (the two
-    names are nicknames of one given name, or one names the other)
-    count 0.95; otherwise the best Levenshtein similarity across the
-    variant cross-product (capped 0.93 — family-fuzzy evidence clears
-    the disagreement veto but never the exact-name fast paths). All
-    JVM expressions; arrays are tiny (median 1, max ~20)."""
-    lv, rv = F.col("l_first_variants"), F.col("r_first_variants")
-    # 0.93: clears the disagreement veto (0.7) and the 0.85/0.9 tiers
-    # (which all demand further corroboration), but NOT the jf>=0.95
-    # name-only tiers — at 20k+ simulants, family-linked DIFFERENT
-    # people (JOSEPH/JOSHUA, ANNA/HANNAH) are common enough that
-    # variant overlap alone must never count as near-exact identity
-    overlap = F.when(F.arrays_overlap(lv, rv), F.lit(0.93))
-    cross = F.flatten(
-        F.transform(
-            lv,
-            lambda a: F.transform(
-                rv,
-                lambda b: F.lit(1.0)
-                - F.levenshtein(a, b).cast("double") / F.greatest(F.length(a), F.length(b)),
-            ),
-        )
-    )
-    var_sim = F.least(F.array_max(cross), F.lit(0.93))
-    both = lv.isNotNull() & rv.isNotNull()
-    return F.when(both, F.greatest(base, overlap, var_sim)).otherwise(base)
+_FAMILIES: "dict[str, frozenset] | None" = None
+
+
+def _nickname_families() -> "dict[str, frozenset]":
+    """name -> union of all nickname families containing it, built from
+    the full asset table. The table is a GRAPH (JUDITH <-> JUDY are each
+    other's nicknames; LISA is in both the ALICE and ELIZABETH
+    families), so membership is a set relation, not a canonical map."""
+    global _FAMILIES
+    if _FAMILIES is None:
+        from pseudopeople_spark.operators.assets import NICKNAMES
+
+        fam: "dict[str, set]" = {}
+        for canon, nicks in NICKNAMES.items():
+            members = {canon.upper()} | {n.upper() for n in nicks}
+            for name in members:
+                fam.setdefault(name, set()).update(members)
+        _FAMILIES = {k: frozenset(v) for k, v in fam.items()}
+    return _FAMILIES
 
 
 def score_pairs(pairs_with_fields: DataFrame, fields: "tuple[FieldSpec, ...]" = DEFAULT_FIELDS) -> DataFrame:
-    """Add sim_<field> columns and a null-renormalized weighted score."""
+    """Add sim_<field> columns and a null-renormalized weighted score.
+    The first-name similarity is nickname-family aware (the inverse of
+    the use_nickname noise channel) via a memoized Arrow UDF
+    (similarity.make_first_name_sim_udf)."""
+    from pseudopeople_spark.functions.similarity import make_first_name_sim_udf
+
     df = pairs_with_fields
-    has_variants = "l_first_variants" in df.columns and "r_first_variants" in df.columns
+    first_sim_udf = make_first_name_sim_udf(_nickname_families())
     num: Column = F.lit(0.0)
     den: Column = F.lit(0.0)
     for spec in fields:
         sim_col = f"sim_{spec.name}"
-        sim = _sim(spec)
-        if spec.name == "first_name" and has_variants:
-            sim = _variant_aware_first_sim(sim)
+        if spec.name == "first_name":
+            a, b = F.col("l_first_name"), F.col("r_first_name")
+            sim = F.when(a.isNull() | b.isNull(), None).otherwise(
+                first_sim_udf(F.upper(a), F.upper(b))
+            )
+        else:
+            sim = _sim(spec)
         df = df.withColumn(sim_col, sim)
         present = F.col(sim_col).isNotNull()
         num = num + F.when(present, F.col(sim_col) * spec.weight).otherwise(0.0)

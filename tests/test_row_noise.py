@@ -71,3 +71,50 @@ def test_duplicate_with_guardian(spark):
     # remapped relationship
     assert dups.where(F.col("relationship_to_reference_person") != "Other relative").count() == 0
     assert out.count() == base_n + n_dups
+
+
+def test_do_not_respond_published_rates(spark):
+    """Distributional fidelity against the reference's PUBLISHED
+    do_not_respond constants (constants/data_values.py:8-45): single-
+    demographic frames must drop at exactly base + race + sex-age-bin
+    (clipped at 0)."""
+    from tests.conftest import assert_proportion
+
+    n = 40_000
+    cases = [
+        # (race, sex, age, expected = 0.0024 + race_adj + sexage_adj)
+        ("White", "Male", 35, 0.0024 - 0.0188 + 0.0281),
+        ("Black", "Female", 3, 0.0024 + 0.0306 + 0.0255),
+        ("Latino", "Male", 20, 0.0024 + 0.0475 + 0.0201),
+        ("Asian", "Male", 70, 0.0),  # 0.0024 - 0.0286 - 0.0079 < 0 -> clipped
+    ]
+    base = spark.range(n).select(F.col("id").alias("key"))
+    for race, sex, age, expected in cases:
+        df = base.select(
+            "key", F.lit(sex).alias("sex"), F.lit(age).alias("age"), F.lit(race).alias("race_ethnicity")
+        )
+        kept = rn.do_not_respond(df, "key", configured_level=rn.DNR_DEFAULT_LEVEL, seed=9).count()
+        dropped = n - kept
+        if expected == 0.0:
+            assert dropped == 0, f"{race}/{sex}/{age}: expected zero drops, got {dropped}"
+        else:
+            assert_proportion(dropped, n, expected, f"dnr {race}/{sex}/{age}", slack_sigmas=6)
+
+
+def test_cps_additive_and_oversample(spark):
+    """CPS: +0.276 additive then the 0.5 + p/2 oversampling transform
+    (reference noise_functions.py:124-135) — a White 35yo male CPS row
+    drops at 0.5 + (0.0117 + 0.276)/2 ~ 0.644."""
+    from tests.conftest import assert_proportion
+
+    n = 40_000
+    df = spark.range(n).select(
+        F.col("id").alias("key"), F.lit("Male").alias("sex"), F.lit(35).alias("age"),
+        F.lit("White").alias("race_ethnicity"),
+    )
+    kept = rn.do_not_respond(
+        df, "key", configured_level=0.2905, default_level=0.2905,
+        oversample_adjust=True, cps_additive=rn.CPS_NONRESPONSE_ADDITIVE, seed=4,
+    ).count()
+    expected = 0.5 + (0.0024 - 0.0188 + 0.0281 + 0.276) / 2
+    assert_proportion(n - kept, n, expected, "cps oversampled dnr", slack_sigmas=6)
