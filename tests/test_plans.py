@@ -64,3 +64,38 @@ def test_loader_filter_ops(spark):
     )
     got = {r["o_orderpriority"] for r in df.select("o_orderpriority").distinct().collect()}
     assert got <= {"1-URGENT", "2-HIGH"}
+
+
+def test_pair_dedup_reuses_one_exchange(spark):
+    """The candidate-pair stage must cost ONE full-width shuffle: the
+    explicit repartition on id_l satisfies the dedup aggregate's
+    [id_l, id_r] clustering AND the downstream join on id_l, so the
+    physical plan may contain no exchange hash-partitioned on the pair
+    key and no second exchange on id_l above the repartition."""
+    from pyspark.sql import functions as F
+
+    from pseudopeople_spark.linkage import pairs as pairgen
+
+    blocks = spark.range(5000).select(
+        (F.col("id") % 300).cast("string").alias("block_key"),
+        F.concat(F.lit("r"), F.col("id")).alias("record_id"),
+    )
+    p = pairgen.pairs_from_blocks(blocks, dedup=False)
+    deduped = p.repartition("id_l").dropDuplicates(["id_l", "id_r"])
+    recs = spark.range(5000).select(
+        F.concat(F.lit("r"), F.col("id")).alias("id_l"), F.lit("x").alias("f")
+    )
+    joined = deduped.join(recs, "id_l")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pair_key_exchanges = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and re.search(r"id_l#\d+, id_r#\d+", l)
+    ]
+    assert not pair_key_exchanges, pair_key_exchanges
+    id_l_exchanges = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "id_l#" in l
+    ]
+    assert len(id_l_exchanges) == 1, id_l_exchanges
