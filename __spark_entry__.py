@@ -495,17 +495,27 @@ def jaro_winkler_scoring(spark, sf_dir):
 
 @_q(
     "sorted_neighborhood",
-    """WITH base AS (SELECT s_suppkey, s_name FROM supplier)
+    """WITH base AS (SELECT s_suppkey, s_nationkey % 5 AS blk, s_name FROM supplier)
        SELECT least(a, b) AS id_l, greatest(a, b) AS id_r FROM (
-         SELECT s_suppkey AS a, lead(s_suppkey, 1) OVER (ORDER BY s_name, s_suppkey) AS b FROM base
+         SELECT s_suppkey AS a,
+                lead(s_suppkey, 1) OVER (PARTITION BY blk ORDER BY s_name, s_suppkey) AS b
+         FROM base
          UNION ALL
-         SELECT s_suppkey AS a, lead(s_suppkey, 2) OVER (ORDER BY s_name, s_suppkey) AS b FROM base
+         SELECT s_suppkey AS a,
+                lead(s_suppkey, 2) OVER (PARTITION BY blk ORDER BY s_name, s_suppkey) AS b
+         FROM base
        ) WHERE b IS NOT NULL""",
 )
 def sorted_neighborhood(spark, sf_dir):
-    """Sorted-neighborhood pairing via window lead(k) (SURVEY.md §2.E)."""
-    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    w = Window.orderBy("s_name", "s_suppkey")
+    """Blocked sorted-neighborhood pairing via window lead(k) (SURVEY.md
+    §2.E). The window is PARTITIONED by a blocking key (here a coarse
+    nation bucket; the real pipeline uses 2-char name prefixes,
+    linkage/blocking.py) so the sort is per-block, never a single
+    global partition — the shape that scales on a cluster."""
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.pmod("s_nationkey", F.lit(5)).alias("blk"), "s_name"
+    )
+    w = Window.partitionBy("blk").orderBy("s_name", "s_suppkey")
     out = None
     for k in (1, 2):
         p = s.select(F.col("s_suppkey").alias("a"), F.lead("s_suppkey", k).over(w).alias("b")).where(

@@ -111,7 +111,18 @@ def _source_records(
         # int64 (converted in _ingest_extract) instead of erroring
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         sub = os.path.join(source, spec.name)
-        df = spark.read.parquet(sub if os.path.isdir(sub) else source)
+        if os.path.isdir(sub):
+            # multi-dataset source ROOT: reference-parity validation —
+            # dataset subdir + CHANGELOG.rst version gate
+            # (interface.py:validate_source_compatibility:184-213)
+            from pseudopeople_spark.sources.reader import validate_source_compatibility
+
+            validate_source_compatibility(source, spec.name)
+            df = spark.read.parquet(sub)
+        else:
+            # direct dataset directory / single parquet (our extension;
+            # the in-package sample path test_interop exercises)
+            df = spark.read.parquet(source)
     elif isinstance(source, DataFrame):
         df = source
     if df is not None and "sid" not in df.columns:

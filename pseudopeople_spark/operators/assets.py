@@ -83,24 +83,29 @@ CITIES = (
 # ---------------------------------------------------------------------------
 
 import csv as _csv
-import os as _os
 
-_DATA_DIR = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "data")
+
+def _read_asset(fname: str) -> "list[str]":
+    """Read a data CSV through ``importlib.resources`` so the package
+    works BOTH from a source checkout and from the ``--py-files`` zip
+    spark-submit ships to executors (zipimport has no real filesystem
+    paths — a plain ``open(os.path.join(__file__, ...))`` breaks the
+    cluster launch path, tools/submit.sh)."""
+    from importlib import resources
+
+    text = (resources.files("pseudopeople_spark") / "data" / fname).read_text()
+    return [r for r in text.splitlines() if r and not r.startswith("#")]
 
 
 def _load_rules(fname: str) -> "dict[str, tuple[str, ...]]":
     out: "dict[str, tuple[str, ...]]" = {}
-    with open(_os.path.join(_DATA_DIR, fname)) as f:
-        rows = [r for r in f if not r.startswith("#")]
-    for rec in _csv.DictReader(rows):
+    for rec in _csv.DictReader(_read_asset(fname)):
         out[rec["token"]] = tuple(rec["variants"].split("|")) if rec["variants"] else ("",)
     return out
 
 
 def _load_pairs(fname: str) -> "list[tuple[str, str]]":
-    with open(_os.path.join(_DATA_DIR, fname)) as f:
-        rows = [r for r in f if not r.startswith("#")]
-    recs = list(_csv.DictReader(rows))
+    recs = list(_csv.DictReader(_read_asset(fname)))
     keys = list(recs[0].keys())
     return [(r[keys[0]], r[keys[1]]) for r in recs]
 

@@ -9,10 +9,86 @@ the reference's explicit pyarrow ``filters=`` machinery is subsumed.
 
 from __future__ import annotations
 
+import os
+import re
 from typing import Any, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+class DataSourceError(Exception):
+    """Incompatible simulated-population source data (reference
+    ``exceptions.DataSourceError``, used by
+    ``interface.py:validate_source_compatibility:184-213``)."""
+
+
+# The simulated-population data version this engine understands — the
+# reference pins exactly one compatible version the same way
+# (interface.py:196-207 pins 1.4.2 for pseudopeople's psp_version).
+COMPATIBLE_DATA_VERSION = (1, 4, 2)
+
+
+def _changelog_version(changelog_path: str) -> "tuple[int, ...]":
+    """First line of CHANGELOG.rst looks like ``**1.4.2 - 2023-05-24**``
+    (reference ``_get_data_changelog_version``, interface.py:216-220)."""
+    with open(changelog_path) as f:
+        first = f.readline()
+    try:
+        ver = first.split("**")[1].split("-")[0].strip()
+        parts = tuple(int(p) for p in re.findall(r"\d+", ver))
+        if not parts:
+            raise ValueError(first)
+    except (IndexError, ValueError) as ex:
+        # the reference crashes on a malformed first line; a typed error
+        # is strictly more useful
+        raise DataSourceError(
+            f"Could not parse a data version from the first line of {changelog_path!r}: {first!r}"
+        ) from ex
+    return parts
+
+
+def validate_source_compatibility(source: str, dataset_name: str) -> str:
+    """Reference-parity source validation
+    (``interface.py:validate_source_compatibility:184-213``):
+
+    * the source root must contain a ``<dataset_name>`` subdirectory
+      (else ``FileNotFoundError``),
+    * a ``CHANGELOG.rst`` must exist at the root and carry exactly the
+      compatible data version — newer -> "upgrade the package", older /
+      missing -> "re-download / request updated data"
+      (``DataSourceError`` either way).
+
+    Returns the dataset subdirectory path.
+    """
+    sub = os.path.join(source, dataset_name)
+    if not os.path.isdir(sub):
+        raise FileNotFoundError(
+            f"Could not find '{dataset_name}' in '{source}'. Please check that the "
+            "provided source directory is correct. If using the sample data, no "
+            "source is required. If providing a source, a directory should be "
+            f"provided that has a subdirectory for '{dataset_name}'."
+        )
+    changelog = os.path.join(source, "CHANGELOG.rst")
+    if not os.path.exists(changelog):
+        raise DataSourceError(
+            "The provided simulated population data is incompatible with this engine.\n"
+            "An older version of simulated population data has been provided."
+        )
+    version = _changelog_version(changelog)
+    if version > COMPATIBLE_DATA_VERSION:
+        raise DataSourceError(
+            "The provided simulated population data is incompatible with this engine.\n"
+            "A newer version of simulated population data has been provided.\n"
+            "Please upgrade the package."
+        )
+    if version < COMPATIBLE_DATA_VERSION:
+        raise DataSourceError(
+            "The provided simulated population data is incompatible with this engine.\n"
+            "The simulated population data has been corrupted.\n"
+            "Please re-download the simulated population data."
+        )
+    return sub
 
 _OPS = {
     "==": lambda c, v: c == v,

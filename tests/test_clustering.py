@@ -53,3 +53,35 @@ def test_cluster_records_covers_singletons(spark):
     assert len(rows) == 4
     assert rows["a"] == rows["b"]
     assert len({rows["a"], rows["c"], rows["d"]}) == 3
+
+
+def test_local_finish_matches_distributed(spark):
+    """The capped driver-local union-find finish must produce EXACTLY
+    the distributed fixed point (same min-id component labels) on a
+    graph with chains, stars, merges, and singletons-in-edges."""
+    edges = []
+    for g in range(200):
+        b = g * 100
+        edges += [(b, b + 1), (b + 1, b + 2), (b + 2, b + 3)]
+        edges += [(b + 3, b + 50), (b + 50, b + 1)]  # cycle back
+    edges += [(5, 105), (205, 305)]  # cross-chain merges
+    df = spark.createDataFrame(edges, ["u", "v"])
+    local = connected_components(df).collect()  # cap >> edge count -> local path
+    dist = connected_components(df, local_finish_max_edges=0).collect()  # forced distributed
+    assert {(r["u"], r["component"]) for r in local} == {(r["u"], r["component"]) for r in dist}
+
+
+def test_mid_loop_local_cutover_matches(spark):
+    """Cutover AFTER some distributed rounds (cap between initial and
+    converged edge count) is exact too: star-rounds preserve
+    connectivity so union-find on an intermediate edge set gives the
+    same components."""
+    # 100 chains of 30 with redundant (i, i+2) shortcuts: 5700 initial
+    # edges converging to 2900 star edges — a cap of 4000 is crossed
+    # only after at least one distributed round
+    edges = [(i, i + 1) for i in range(3000) if (i + 1) % 30 != 0]
+    edges += [(i, i + 2) for i in range(3000) if (i % 30) < 28]
+    df = spark.createDataFrame(edges, ["u", "v"])
+    want = connected_components(df, local_finish_max_edges=0).collect()
+    got = connected_components(df, local_finish_max_edges=4000).collect()
+    assert {(r["u"], r["component"]) for r in got} == {(r["u"], r["component"]) for r in want}

@@ -86,3 +86,47 @@ def test_generate_ssa_from_reference_sample(spark):
     raw = spark.read.parquet(f"{SAMPLES}/social_security/social_security.parquet")
     raw_ssns = raw.select(F.col("ssn").cast("string").alias("ssn")).distinct()
     assert out.where(F.col("ssn").isNotNull()).join(raw_ssns, "ssn", "left_anti").count() == 0
+
+
+def test_source_compatibility_validation(spark, tmp_path):
+    """Reference-parity source-root validation (reference
+    interface.py:validate_source_compatibility:184-213 and its
+    test_interface.py failure cases): missing dataset subdir ->
+    FileNotFoundError; missing CHANGELOG -> DataSourceError (older
+    data); newer / older changelog version -> DataSourceError."""
+    from pseudopeople_spark.api import generate_decennial_census
+    from pseudopeople_spark.sources.reader import (
+        DataSourceError,
+        validate_source_compatibility,
+    )
+
+    root = tmp_path / "srcroot"
+    root.mkdir()
+
+    # no dataset subdirectory at all
+    with pytest.raises(FileNotFoundError, match="decennial_census"):
+        validate_source_compatibility(str(root), "decennial_census")
+
+    # subdir present, CHANGELOG absent -> "older version" DataSourceError,
+    # and the API path raises it before touching parquet
+    sub = root / "decennial_census"
+    sub.mkdir()
+    with pytest.raises(DataSourceError, match="older version"):
+        validate_source_compatibility(str(root), "decennial_census")
+    with pytest.raises(DataSourceError, match="older version"):
+        generate_decennial_census(spark, source=str(root), seed=1, year=2020)
+
+    # newer data version -> upgrade-the-package error
+    cl = root / "CHANGELOG.rst"
+    cl.write_text("**9.0.0 - 2030-01-01**\n\n - stuff\n")
+    with pytest.raises(DataSourceError, match="newer version"):
+        validate_source_compatibility(str(root), "decennial_census")
+
+    # older data version -> corrupted / re-download error
+    cl.write_text("**0.1.0 - 2020-01-01**\n\n - stuff\n")
+    with pytest.raises(DataSourceError, match="corrupted"):
+        validate_source_compatibility(str(root), "decennial_census")
+
+    # exactly-compatible version passes and returns the subdir
+    cl.write_text("**1.4.2 - 2023-05-24**\n\n - stuff\n")
+    assert validate_source_compatibility(str(root), "decennial_census") == str(sub)
