@@ -73,7 +73,7 @@ def entry(spark: SparkSession) -> DataFrame:
                     "state": "mailing_address_state"},
         ref_year=2020,
     )
-    ns = normalize_records(via_spans(ssa), "ssa", "yyyyMMdd", dob_fallback="event_date")
+    ns = normalize_records(via_spans(ssa), "ssa", "yyyyMMdd", dob_fallback="event_date", period_col="event_type")
     records = nc.unionByName(nw).unionByName(ns)
     truth = (
         census.select("record_id", "simulant_id")

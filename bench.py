@@ -124,7 +124,7 @@ def bench_er(spark, n_simulants: int) -> "dict":
                     "state": "mailing_address_state"},
         ref_year=2020,
     )
-    ns = normalize_records(ssa, "ssa", "yyyyMMdd", dob_fallback="event_date")
+    ns = normalize_records(ssa, "ssa", "yyyyMMdd", dob_fallback="event_date", period_col="event_type")
     records = nc.unionByName(nw).unionByName(ns).localCheckpoint()
     truth = (
         census.select("record_id", "simulant_id")

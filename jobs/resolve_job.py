@@ -66,7 +66,7 @@ def main() -> None:
                     "state": "mailing_address_state"},
         ref_year=2020,
     )
-    ns = normalize_records(ssa, "ssa", "yyyyMMdd", dob_fallback="event_date")
+    ns = normalize_records(ssa, "ssa", "yyyyMMdd", dob_fallback="event_date", period_col="event_type")
     records = nc.unionByName(nw).unionByName(ns)
 
     res = resolve(

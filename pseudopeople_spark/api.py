@@ -71,11 +71,19 @@ def _ingest_extract(df: DataFrame, spec: D.DatasetSpec, year: "int | None") -> D
     # the others are within-year extracts
     if year is not None and spec.date_column in cols:
         dc = df.schema[spec.date_column].dataType
-        y = (
-            F.year(spec.date_column)
-            if isinstance(dc, (T.DateType, T.TimestampType))
-            else F.col(spec.date_column).cast("bigint")
-        )
+        if isinstance(dc, (T.DateType, T.TimestampType)):
+            y = F.year(spec.date_column)
+        else:
+            # string/int date columns: a bare 4-digit year (tax_year,
+            # census `year`) is the year itself; otherwise parse with the
+            # dataset's own date format (round-tripped extracts carry
+            # e.g. yyyyMMdd event_date strings — a wholesale bigint cast
+            # would compare 20250105 <= 2025 and silently drop all rows)
+            s = F.col(spec.date_column).cast("string")
+            tc = s.try_cast("bigint")
+            y = F.when(tc.between(1000, 9999), tc).otherwise(
+                F.year(F.try_to_date(s, spec.date_format))
+            )
         df = df.where(y <= year if spec.name == "social_security" else y == year)
 
     # ---- dtype prep per column

@@ -117,6 +117,15 @@ def _merge(base: "dict[str, Any]", over: "Mapping[str, Any]", path: tuple) -> No
             )
         if isinstance(v, Mapping) and isinstance(base.get(k), dict) and len(path) < 4:
             _merge(base[k], v, path + (str(k),))
+        elif isinstance(base.get(k), dict) and len(path) < 4:
+            # base expects a subtree here (e.g. row_noise.omit_row is a
+            # params dict) — a scalar override would silently replace the
+            # dict and crash far away in noise_dataset (reference
+            # validator.py rejects wrong-typed nodes at config time)
+            raise ConfigurationError(
+                f"'{'.'.join(path + (str(k),))}' must be a mapping of parameters "
+                f"(e.g. {{'{next(iter(base[k]), 'row_probability')}': ...}}); got {v!r}"
+            )
         else:
             base[k] = _validate_parameter(str(k), v, path)
 

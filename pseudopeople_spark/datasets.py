@@ -90,7 +90,14 @@ class DatasetSpec:
 
 
 SEXES = ("Female", "Male")
+# synth value-draw order (stable); the choose_wrong_option DRAW universe
+# comes from assets.SELECT_OPTIONS (reference incorrect_select_options.csv
+# order), wired in noise.py — not from this tuple
 RACES = ("White", "Black", "Latino", "Asian", "AIAN", "NHOPI", "Multiracial or Other")
+HOUSING_TYPES = (
+    "Household", "Carceral", "Nursing home", "Other institutional",
+    "College", "Military", "Other noninstitutional",
+)
 # Full 19-option list (reference data/incorrect_select_options.csv /
 # sample data distinct values)
 RELATIONSHIPS = (
@@ -146,6 +153,7 @@ DECENNIAL_CENSUS = DatasetSpec(
         _person_core()
         + _address_block()
         + [
+            ColumnSpec("housing_type", (LEAVE_BLANK, CHOOSE_WRONG_OPTION), options=HOUSING_TYPES),
             ColumnSpec("relationship_to_reference_person", (LEAVE_BLANK, CHOOSE_WRONG_OPTION), options=RELATIONSHIPS),
             ColumnSpec("sex", (LEAVE_BLANK, CHOOSE_WRONG_OPTION), options=SEXES),
             ColumnSpec("race_ethnicity", (LEAVE_BLANK, CHOOSE_WRONG_OPTION), options=RACES),
@@ -205,6 +213,8 @@ AMERICAN_COMMUNITY_SURVEY = DatasetSpec(
         _person_core()
         + _address_block()
         + [
+            ColumnSpec("housing_type", (LEAVE_BLANK, CHOOSE_WRONG_OPTION), options=HOUSING_TYPES),
+            ColumnSpec("relationship_to_reference_person", (LEAVE_BLANK, CHOOSE_WRONG_OPTION), options=RELATIONSHIPS),
             ColumnSpec("sex", (LEAVE_BLANK, CHOOSE_WRONG_OPTION), options=SEXES),
             ColumnSpec("race_ethnicity", (LEAVE_BLANK, CHOOSE_WRONG_OPTION), options=RACES),
             ColumnSpec("survey_date", ()),

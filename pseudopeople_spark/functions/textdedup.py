@@ -54,24 +54,42 @@ def simhash64_udf(text: pd.Series) -> pd.Series:
     return pd.Series(out, dtype="object")
 
 
-def simhash_bands(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bands: int = 4) -> DataFrame:
-    """(band_key, id, simhash) — equi-join-able band keys over the
-    64-bit signature. Pigeonhole: ``bands`` bands catch every pair with
-    Hamming distance <= bands - 1, so callers must pass
-    ``max_hamming + 1`` bands (see :func:`simhash_near_dups`)."""
+def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash) — ONE evaluation of the signature UDF. Callers that
+    derive several relations from the signatures (band keys, bucket
+    sizes, both self-join sides) should materialize this first so the
+    dominant UDF cost is paid once, not once per derived branch."""
     sig = simhash64_udf(F.col(text_col))
-    d = df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
+    return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
+
+
+def bands_from_signatures(sigs: DataFrame, bands: int = 4) -> DataFrame:
+    """(band_key, id, simhash) — equi-join-able band keys over a
+    precomputed (id, simhash) relation. Pigeonhole: ``bands`` bands
+    catch every pair with Hamming distance <= bands - 1, so callers
+    must pass ``max_hamming + 1`` bands (see :func:`simhash_near_dups`)."""
     widths = [64 // bands + (1 if i < 64 % bands else 0) for i in range(bands)]
     out = None
     off = 0
     for b, w in enumerate(widths):
-        band = F.pmod(F.shiftrightunsigned("simhash", off), F.lit(1 << w))
+        shifted = F.shiftrightunsigned("simhash", off)
+        # w == 64 (bands=1): the band IS the signature — 1 << 64 does not
+        # fit a long literal, and no masking is needed
+        band = shifted if w >= 64 else F.pmod(shifted, F.lit(1 << w))
         off += w
-        kv = d.select(
+        kv = sigs.select(
             F.concat(F.lit(f"sh{b}:"), band.cast("string")).alias("band_key"), "id", "simhash"
         )
         out = kv if out is None else out.unionByName(kv)
     return out
+
+
+def simhash_bands(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bands: int = 4) -> DataFrame:
+    """(band_key, id, simhash) from raw text — see
+    :func:`bands_from_signatures`. The signature UDF is evaluated once
+    per output branch of THIS plan; multi-branch callers should go
+    through :func:`simhash_signatures` + a checkpoint instead."""
+    return bands_from_signatures(simhash_signatures(df, text_col, id_col), bands=bands)
 
 
 def hamming64(a, b):
@@ -100,7 +118,14 @@ def simhash_near_dups(
     cap-and-sweep pattern, linkage/pairs.py:27-59) instead of exploding
     n^2 — a deliberate, bounded recall trade documented to callers
     (pass ``max_bucket_size=None`` for exhaustive banding)."""
-    banded = simhash_bands(df, text_col, id_col, bands=max_hamming + 1)
+    from pseudopeople_spark.checkpoint import _capped_local_checkpoint
+
+    # Materialize signatures ONCE: the banding union, the bucket-size
+    # aggregate, and both self-join sides all branch off this relation —
+    # without the checkpoint each branch re-runs the signature UDF over
+    # the full corpus (~4x the dominant cost).
+    sigs = _capped_local_checkpoint(simhash_signatures(df, text_col, id_col))
+    banded = bands_from_signatures(sigs, bands=max_hamming + 1)
     ham = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming")
 
     if max_bucket_size is None:

@@ -48,8 +48,8 @@ class ResolveConfig:
     checkpoint_dir: "str | None" = None
 
 
-CANONICAL_FIELDS = ["dataset", "first_name", "middle", "last_name", "dob",
-                    "byear", "ssn_digits", "zipcode", "city", "state", "sex"]
+CANONICAL_FIELDS = ["dataset", "period", "first_name", "middle", "last_name",
+                    "dob", "byear", "ssn_digits", "zipcode", "city", "state", "sex"]
 
 
 def _dob_digits(col: Column, fmt: str) -> Column:
@@ -73,11 +73,22 @@ def normalize_records(
     column_map: "dict[str, str] | None" = None,
     dob_fallback: "str | None" = None,
     ref_year: "int | None" = None,
+    period_col: "str | None" = None,
 ) -> DataFrame:
     """Map a dataset extract onto the canonical linkage schema:
-    (record_id, dataset, first_name, last_name, dob, ssn_digits,
+    (record_id, dataset, period, first_name, last_name, dob, ssn_digits,
     zipcode, city, state, sex). Missing fields become nulls; strings are
-    upper-cased and trimmed. column_map: canonical -> source column."""
+    upper-cased and trimmed. column_map: canonical -> source column.
+
+    ``period`` scopes the uniqueness unit the same-dataset match veto
+    relies on (one row per entity per dataset-PERIOD): ``ref_year``
+    stamps it for annual extracts; ``period_col`` (e.g.
+    ``event_type`` for SSA, where an entity has at most one creation
+    and one death event) reads it per row. When both are absent the
+    period is NULL and the veto treats the whole dataset as one period
+    (the conservative single-extract behavior) — multi-year extracts
+    fed as ONE dataset must pass one of them or true cross-period
+    pairs are hard-vetoed."""
     m = column_map or {}
 
     def src(canon: str) -> "Column | None":
@@ -133,9 +144,16 @@ def normalize_records(
                 m["middle"] = cand
                 break
     ssn_src = src("ssn_digits") if "ssn_digits" in m else (F.col("ssn") if "ssn" in df.columns else None)
+    if ref_year is not None:
+        period_expr = F.lit(str(ref_year))
+    elif period_col and period_col in df.columns:
+        period_expr = F.col(period_col).cast("string")
+    else:
+        period_expr = F.lit(None).cast("string")
     out = df.select(
         F.col("record_id"),
         F.lit(dataset_name).alias("dataset"),
+        period_expr.alias("period"),
         clean(src("first_name")).alias("__first_raw"),
         F.substring(clean(src("middle"), FAKE_FIRST_NAMES), 1, 1).alias("middle"),
         clean(src("last_name"), FAKE_LAST_NAMES).alias("last_name"),
@@ -157,7 +175,7 @@ def normalize_records(
         _strip_fakes(F.col("__first_raw"), FAKE_FIRST_NAMES)
     )
     out = out.withColumn("first_name", first)
-    cols = ["record_id", "dataset", "first_name", "middle", "last_name",
+    cols = ["record_id", "dataset", "period", "first_name", "middle", "last_name",
             "dob", "byear", "ssn_digits", "zipcode", "city", "state", "sex"]
     return out.select(*cols)
 
@@ -225,7 +243,8 @@ def resolve(
         keep = ["id_l", "id_r", "score", "sim_first_name", "sim_last_name", "sim_dob",
                 "sim_middle", "sim_zipcode", "sim_city", "sim_sex",
                 "l_first_name", "r_first_name", "l_ssn_digits", "r_ssn_digits",
-                "l_byear", "r_byear", "l_dataset", "r_dataset"]
+                "l_byear", "r_byear", "l_dataset", "r_dataset",
+                "l_period", "r_period"]
         return scoring.score_pairs(with_fields).select(*keep)
 
     scored = _timed("scoring", _scored)

@@ -306,7 +306,15 @@ def tiered_match(
         dup_twin = (F.col("id_r") == F.concat(F.col("id_l"), F.lit("_dup"))) | (
             F.col("id_l") == F.concat(F.col("id_r"), F.lit("_dup"))
         )
-        is_match = is_match & ((F.col("l_dataset") != F.col("r_dataset")) | dup_twin)
+        same_dataset = F.col("l_dataset") == F.col("r_dataset")
+        if "l_period" in scored.columns:
+            # the uniqueness unit is the dataset-PERIOD (normalize_records
+            # stamps it from ref_year / period_col): a 2020-census row and
+            # a 2030-census row of the same entity are a legitimate match.
+            # NULL periods compare equal (eqNullSafe) — the conservative
+            # whole-dataset veto for callers that stamp no period.
+            same_dataset = same_dataset & F.col("l_period").eqNullSafe(F.col("r_period"))
+        is_match = is_match & (~same_dataset | dup_twin)
     return scored.withColumn("is_match", is_match)
 
 
@@ -353,7 +361,13 @@ def prune_edges_by_ssn_consensus(edges: DataFrame) -> DataFrame:
         .join(winners, F.col("__bare") == F.col("bare_id"), "left")
         .where(
             F.col("top_ssn").isNull()  # no disagreement / not one-sided
-            | (partner_ssn == F.col("top_ssn"))
+            # edit-distance-tolerant agreement, consistent with every
+            # other SSN comparison in the cascade (ssn_near lev<=2): a
+            # digit-noised variant of the winning SSN is the same
+            # identity and must not cost the entity its true edge — only
+            # genuinely DIFFERENT numbers (a look-alike's SSN, many
+            # digits apart) are pruned
+            | (F.levenshtein(partner_ssn, F.col("top_ssn")) <= 2)
         )
     )
     return out.select(*edges.columns).drop("__bare")

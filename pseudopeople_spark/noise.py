@@ -131,7 +131,11 @@ def noise_dataset(
             if nt == D.LEAVE_BLANK:
                 df = cn.leave_blank(df, col.name, key_col, p=p, seed=seed)
             elif nt == D.CHOOSE_WRONG_OPTION:
-                df = cn.choose_wrong_option(df, col.name, key_col, options=col.options, p=p, seed=seed)
+                # draw universe: the asset table (reference
+                # incorrect_select_options.csv order) — col.options is
+                # only a fallback for columns the reference CSV lacks
+                opts = assets.select_options_for(col.name) or col.options
+                df = cn.choose_wrong_option(df, col.name, key_col, options=opts, p=p, seed=seed)
             elif nt == D.COPY_FROM_HOUSEHOLD_MEMBER:
                 if col.copy_column and col.copy_column in df.columns:
                     df = cn.copy_from_household_member(

@@ -138,3 +138,18 @@ SELECT_OPTIONS: "dict[str, tuple[str, ...]]" = {}
 for _col, _opt in _load_pairs("select_options.csv"):
     SELECT_OPTIONS.setdefault(_col, ())
     SELECT_OPTIONS[_col] = SELECT_OPTIONS[_col] + (_opt,)
+
+
+def select_options_for(column: str) -> "tuple[str, ...] | None":
+    """Draw universe for ``choose_wrong_option`` on ``column`` — the
+    single source of truth is the asset table above (reference CSV
+    order; the order defines the vectorized_choice CDF indexing).
+    Prefixed address columns (``mailing_address_state``) resolve to
+    their base key."""
+    opts = SELECT_OPTIONS.get(column)
+    if opts:
+        return opts
+    for key, vals in SELECT_OPTIONS.items():
+        if column.endswith("_" + key):
+            return vals
+    return None

@@ -211,7 +211,12 @@ def duplicate_with_guardian(
     if has_hh:
         def differs(prefix: str):
             gh = F.col(f"{prefix}_{household_col}")
-            return gh.isNotNull() & (F.col(household_col) != gh)
+            # null-safe inequality: the reference compares in pandas where
+            # NaN != value is True (noise_functions.py:243-248), so a
+            # dependent with a NULL household id living apart from a
+            # guardian IS eligible — Spark's null-propagating != would
+            # silently exclude those rows
+            return gh.isNotNull() & ~F.col(household_col).eqNullSafe(gh)
     else:  # fallback when the extract carries no household id: any copied column differs
         def differs(prefix: str):
             any_neq = F.lit(False)

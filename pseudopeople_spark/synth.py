@@ -117,7 +117,14 @@ def _attrs(sid: Column, seed: int) -> "dict[str, Column]":
         "relationship_to_reference_person": relationship,
         "guardian_1": guardian_1,
         "guardian_2": guardian_2,
-        "housing_type": F.lit("Household"),
+        # ~2% group-quarters population (deterministic), rest household —
+        # gives choose_wrong_option a real value universe and exercises
+        # the guardian-duplication College path (reference GQ types,
+        # incorrect_select_options.csv housing_type column)
+        "housing_type": F.when(
+            F.pmod(_h(seed, "gq", sid), F.lit(50)) == 0,
+            _pick(D.HOUSING_TYPES[1:], _h(seed, "gq_type", sid)),
+        ).otherwise("Household"),
     }
 
 
@@ -220,6 +227,7 @@ def acs_records(pop: DataFrame, year: int, sample_rate: float = 0.2, seed: int =
         _age_at(y, F.col("birth_year")).cast("string").alias("age"),
         F.date_format("date_of_birth_date", "MM/dd/yyyy").alias("date_of_birth"),
         "street_number", "street_name", "unit_number", "city", "state", "zipcode",
+        "housing_type", "relationship_to_reference_person",
         "sex", "race_ethnicity",
         _survey_date(seed, f"acs_date_{year}", year).alias("survey_date"),
         _age_at(y, F.col("copy_birth_year")).cast("string").alias("copy_age"),
@@ -228,9 +236,12 @@ def acs_records(pop: DataFrame, year: int, sample_rate: float = 0.2, seed: int =
 
 
 def cps_records(pop: DataFrame, year: int, sample_rate: float = 0.1, seed: int = 42) -> DataFrame:
-    """Current Population Survey extract (``schema_entities.py:660-688``)."""
+    """Current Population Survey extract (``schema_entities.py:660-688``);
+    same shape as ACS minus housing_type/relationship (the reference CPS
+    column list omits both)."""
     return (
         acs_records(pop, year, sample_rate=sample_rate, seed=seed + 1)
+        .drop("housing_type", "relationship_to_reference_person")
         .withColumn("record_id", F.regexp_replace("record_id", "^acs_", "cps_"))
     )
 

@@ -52,3 +52,16 @@ def test_ssa_year_filter(spark):
     df = api.generate_social_security(spark, seed=1, population=400, year=2000, config=NO_NOISE)
     years = df.select(F.substring("event_date", 1, 4).cast("int").alias("y"))
     assert years.where(F.col("y") > 2000).count() == 0
+
+
+def test_year_filter_on_string_date_extract(spark):
+    """Round-trip: feed this engine's OWN output (string yyyyMMdd
+    event_date) back as a raw-extract source with a year filter — the
+    year must be parsed from the date format, not a wholesale bigint
+    cast (which compared 20000105 <= 2000 and silently dropped every
+    row)."""
+    out = api.generate_social_security(spark, seed=1, population=400, config=NO_NOISE)
+    n_upto_2000 = out.where(F.substring("event_date", 1, 4).cast("int") <= 2000).count()
+    assert n_upto_2000 > 0
+    refed = api.generate_social_security(spark, source=out, year=2000, config=NO_NOISE)
+    assert refed.count() == n_upto_2000

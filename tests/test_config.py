@@ -71,6 +71,22 @@ def test_invalid_values_rejected(overrides):
         get_config(overrides)
 
 
+@pytest.mark.parametrize(
+    "overrides",
+    [
+        {"decennial_census": {"row_noise": {"omit_row": 0.01}}},
+        {"decennial_census": {"column_noise": {"age": {"misreport_age": 0.3}}}},
+        {"decennial_census": {"row_noise": 0.5}},
+    ],
+)
+def test_scalar_where_subtree_expected_rejected(overrides):
+    """A scalar in place of a params dict must fail AT CONFIG TIME with
+    a ConfigurationError (reference validator.py rejects wrong-typed
+    nodes), not later in noise_dataset with an AttributeError."""
+    with pytest.raises(ConfigurationError):
+        get_config(overrides)
+
+
 def test_age_differences_list_normalized():
     cfg = get_config({"decennial_census": {"column_noise": {"age": {"misreport_age": {
         "possible_age_differences": [-1, 1]}}}}})

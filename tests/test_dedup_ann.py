@@ -123,6 +123,19 @@ def test_simhash_bucket_cap_linearizes_hot_buckets(spark):
     assert uncapped == n * (n - 1) // 2
 
 
+def test_simhash_max_hamming_zero_exact_dupes(spark):
+    """max_hamming=0 (bands=1, band width 64) is the exact-signature
+    dedup degenerate case — the band key is the full signature and must
+    not overflow a long literal (1 << 64)."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "totally different text here")],
+        "doc_id long, text string",
+    )
+    pairs = simhash_near_dups(docs, max_hamming=0, max_bucket_size=None).collect()
+    assert {(r["id_l"], r["id_r"]) for r in pairs} == {(1, 2)}
+    assert all(r["hamming"] == 0 for r in pairs)
+
+
 def test_dedup_char_jaccard_block_cap(spark, tmp_path):
     """One oversized (lang, length-bucket) block must yield linear
     sweep pairs, never the quadratic join (the 100 TB straggler

@@ -48,7 +48,7 @@ def resolved(spark, noised):
         },
         ref_year=2020,
     )
-    ns = normalize_records(via_spans(ssa, "ssa"), "ssa", "yyyyMMdd", dob_fallback="event_date")
+    ns = normalize_records(via_spans(ssa, "ssa"), "ssa", "yyyyMMdd", dob_fallback="event_date", period_col="event_type")
     records = nc.unionByName(nw).unionByName(ns)
     truth = (
         census.select("record_id", "simulant_id")

@@ -68,9 +68,51 @@ def test_duplicate_with_guardian(spark):
     )
     assert diff.count() == n_dups, "every duplicate must carry a DIFFERENT (guardian) address"
     # duplicated rows keep the truth-deck simulant_id and get the
-    # remapped relationship
-    assert dups.where(F.col("relationship_to_reference_person") != "Other relative").count() == 0
+    # relationship remapped from the COPIED guardian housing type
+    # (reference noise_type_metadata.py:34-42; synth has ~2% GQ rows)
+    remap = F.create_map(*[F.lit(x) for kv in rn.HOUSING_TYPE_RELATIONSHIP_MAP.items() for x in kv])
+    bad = dups.where(
+        F.col("relationship_to_reference_person") != remap[F.col("housing_type")]
+    ).count()
+    assert bad == 0, "dup relationship must follow the housing-type remap"
     assert out.count() == base_n + n_dups
+
+
+def test_duplicate_with_guardian_null_household_eligible(spark):
+    """A dependent with a NULL household_id living apart from its
+    guardian IS eligible (reference pandas `!=` treats NaN != value as
+    True, noise_functions.py:243-248) — Spark's null-propagating `!=`
+    must not silently exclude those rows."""
+    pop = synth.simulants(spark, 2000, seed=5)
+    census = synth.census_records(pop, 2020)
+    census = (
+        census.withColumn(
+            "guardian_1",
+            F.when(
+                F.col("guardian_1").isNotNull(),
+                F.format_string("%09d", (F.col("household_id").cast("bigint") + 1) * 4),
+            ),
+        )
+        .withColumn("guardian_2", F.lit(None).cast("string"))
+        # dependents lose their own household id
+        .withColumn(
+            "household_id",
+            F.when(F.col("guardian_1").isNotNull(), None).otherwise(F.col("household_id")),
+        )
+    )
+    out = rn.duplicate_with_guardian(census, "record_id", p_under_18=1.0, p_college=1.0, seed=6)
+    # eligible: under-18 Household dependents whose guardian row exists
+    gsids = census.select(F.col("simulant_id").alias("g")).distinct()
+    n_eligible = (
+        census.join(gsids, F.col("guardian_1") == F.col("g"), "left_semi")
+        .where((F.col("age").cast("int") < 18) & (F.col("housing_type") == "Household"))
+        .count()
+    )
+    n_dups = out.where(F.col("record_id").endswith("_dup")).count()
+    assert n_eligible > 0
+    # the old null-propagating != made EVERY null-household dependent
+    # ineligible (n_dups == 0); null-safe inequality restores them
+    assert n_dups >= n_eligible, "null-household dependents must be eligible for duplication"
 
 
 def test_do_not_respond_published_rates(spark):

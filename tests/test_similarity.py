@@ -84,6 +84,11 @@ def test_ssn_consensus_pruning(spark):
         ("s1", "w1", 0.99, "111111111", "111111111"),
         # census c3: single partner, no disagreement -> kept
         ("c3", "w4", 0.93, None, "555555555"),
+        # census c4: minority vote is a 1-digit NOISE VARIANT of the
+        # winner (write_wrong_digits) -> same identity, edge KEPT
+        ("c4", "w5", 0.99, None, "666666666"),
+        ("c4", "w6", 0.99, None, "666666666"),
+        ("c4", "w7", 0.99, None, "666666667"),
     ]
     edges = spark.createDataFrame(
         rows, "id_l string, id_r string, score double, l_ssn_digits string, r_ssn_digits string"
@@ -91,3 +96,31 @@ def test_ssn_consensus_pruning(spark):
     kept = {(r["id_l"], r["id_r"]) for r in prune_edges_by_ssn_consensus(edges).collect()}
     assert ("c1", "w9") not in kept
     assert {("c1", "w1"), ("c1", "s1"), ("c2", "w2"), ("c2", "w3"), ("s1", "w1"), ("c3", "w4")} <= kept
+    assert ("c4", "w7") in kept, "digit-noised variant of the winning SSN must survive"
+
+
+def test_same_dataset_veto_scoped_to_period(spark):
+    """The same-dataset hard veto is scoped to the dataset-PERIOD: a
+    2020-census and a 2030-census row of one entity (perfect sims) is a
+    legitimate match; two rows in the SAME period stay vetoed, as do
+    rows with NULL periods (whole-dataset conservative default)."""
+    from pseudopeople_spark.linkage.scoring import tiered_match
+
+    base = dict(
+        score=1.0, sim_first_name=1.0, sim_last_name=1.0, sim_dob=1.0,
+        sim_middle=1.0, sim_sex=1.0, sim_zipcode=1.0, sim_city=1.0,
+        l_first_name="ALICE", r_first_name="ALICE",
+        l_ssn_digits="123456789", r_ssn_digits="123456789",
+        l_byear="1980", r_byear="1980",
+        l_dataset="census", r_dataset="census",
+    )
+    rows = [
+        {**base, "id_l": "a", "id_r": "b", "l_period": "2020", "r_period": "2030"},
+        {**base, "id_l": "c", "id_r": "d", "l_period": "2020", "r_period": "2020"},
+        {**base, "id_l": "e", "id_r": "f", "l_period": None, "r_period": None},
+    ]
+    scored = spark.createDataFrame(rows)
+    got = {r["id_l"]: r["is_match"] for r in tiered_match(scored, same_dataset_distinct=True).collect()}
+    assert got["a"] is True, "cross-period same-dataset pair must not be hard-vetoed"
+    assert got["c"] is False, "same-period pair stays vetoed"
+    assert got["e"] is False, "null periods keep the whole-dataset veto"

@@ -49,7 +49,7 @@ def worker(cores: int, n: int) -> None:
                     "state": "mailing_address_state"},
         ref_year=2020,
     )
-    ns = normalize_records(ssa, "ssa", "yyyyMMdd", dob_fallback="event_date")
+    ns = normalize_records(ssa, "ssa", "yyyyMMdd", dob_fallback="event_date", period_col="event_type")
     records = nc.unionByName(nw).unionByName(ns).localCheckpoint()  # noising paid OUTSIDE the clock
     n_records = records.count()
 
