@@ -13,6 +13,7 @@ declared output schema. Lazy end-to-end: one DataFrame, no collect.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Mapping
 
 from pyspark.sql import DataFrame, SparkSession
@@ -55,16 +56,23 @@ def _ingest_extract(df: DataFrame, spec: D.DatasetSpec, year: "int | None") -> D
         if name in cols and isinstance(df.schema[name].dataType, T.LongType):
             df = df.withColumn(name, F.timestamp_micros((F.col(name) / 1000).cast("bigint")))
 
-    # ---- stable record id
+    # ---- stable record id, ALWAYS namespaced by dataset: extracts of
+    # different datasets share pandas index values 0..N, and un-prefixed
+    # ids collide downstream (cluster_records hashes record_id to a node
+    # id — same id across datasets would silently merge clusters)
     if "__index_level_0__" in cols:
-        df = df.withColumn("record_id", F.col("__index_level_0__").cast("string"))
+        df = df.withColumn(
+            "record_id", F.concat_ws("_", F.lit(spec.name), F.col("__index_level_0__").cast("string"))
+        )
         df = df.drop("__index_level_0__")
     elif "simulant_id" in cols and spec.date_column in cols:
         df = df.withColumn(
             "record_id", F.concat_ws("_", F.lit(spec.name), "simulant_id", spec.date_column)
         )
     else:
-        df = df.withColumn("record_id", F.xxhash64(*sorted(cols)).cast("string"))
+        df = df.withColumn(
+            "record_id", F.concat_ws("_", F.lit(spec.name), F.xxhash64(*sorted(cols)).cast("string"))
+        )
 
     # ---- year predicate (pushed down by Catalyst when source is a scan);
     # SSA takes every event up to Dec 31 of `year` (interface.py:886-898),
@@ -113,24 +121,39 @@ def _source_records(
     goes through the deterministic synthesizer."""
     df = None
     if isinstance(source, str):
-        import os
+        from pseudopeople_spark.sources.reader import path_is_dir, validate_source_compatibility
 
         # pseudopeople's own files carry TIMESTAMP(NANOS); read them as
-        # int64 (converted in _ingest_extract) instead of erroring
+        # int64 (converted in _ingest_extract) instead of erroring. The
+        # conf is restored after the read: leaving it flipped would make
+        # the user's OWN later nanos-parquet reads in this session
+        # silently come back as raw int64 columns. (Parquet schema
+        # conversion consults the conf at read/analysis time, which is
+        # why the restore after `spark.read.parquet` is safe.)
+        prev_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        sub = os.path.join(source, spec.name)
-        if os.path.isdir(sub):
-            # multi-dataset source ROOT: reference-parity validation —
-            # dataset subdir + CHANGELOG.rst version gate
-            # (interface.py:validate_source_compatibility:184-213)
-            from pseudopeople_spark.sources.reader import validate_source_compatibility
-
-            validate_source_compatibility(source, spec.name)
-            df = spark.read.parquet(sub)
-        else:
-            # direct dataset directory / single parquet (our extension;
-            # the in-package sample path test_interop exercises)
-            df = spark.read.parquet(source)
+        try:
+            sub = (
+                source.rstrip("/") + "/" + spec.name
+                if "://" in source else os.path.join(source, spec.name)
+            )
+            if path_is_dir(sub, spark):
+                # multi-dataset source ROOT: reference-parity validation —
+                # dataset subdir + CHANGELOG.rst version gate
+                # (interface.py:validate_source_compatibility:184-213)
+                validate_source_compatibility(source, spec.name, spark)
+                df = spark.read.parquet(sub)
+            else:
+                # direct dataset directory / single parquet (our extension;
+                # the in-package sample path test_interop exercises)
+                df = spark.read.parquet(source)
+            df = _ingest_extract(df, spec, year)
+        finally:
+            if prev_nanos is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev_nanos)
+        return df
     elif isinstance(source, DataFrame):
         df = source
     if df is not None and "sid" not in df.columns:

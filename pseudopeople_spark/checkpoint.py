@@ -83,11 +83,15 @@ class StageCheckpointer:
             .withColumn("stage", F.lit(stage))
             .withColumn("wall_seconds", F.lit(float(elapsed)))
         )
-        per_part.write.mode("overwrite").parquet(metrics_p)
+        # one row per partition — collect it for the manifest total so
+        # the freshly written data is scanned ONCE, not once for the
+        # metrics and again for a count()
+        part_rows = per_part.collect()
+        self.spark.createDataFrame(part_rows, per_part.schema).write.mode("overwrite").parquet(metrics_p)
         kpis = dict(kpis_fn(out)) if kpis_fn else {}
         manifest = {
             "stage": stage,
-            "rows": out.count(),
+            "rows": int(sum(r["rows"] for r in part_rows)),
             "schema": out.schema.jsonValue(),
             "upstream": upstream or [],
             "wall_seconds": elapsed,

@@ -77,10 +77,33 @@ def baseline_config(dataset: D.DatasetSpec) -> "dict[str, Any]":
     return {"row_noise": row_noise, "column_noise": column_noise}
 
 
-def get_config(overrides: "Mapping[str, Any] | None" = None) -> "dict[str, Any]":
+def get_config(overrides: "Mapping[str, Any] | str | None" = None) -> "dict[str, Any]":
     """Resolved config for all datasets with user overrides merged on
     top (the reference's ``get_config``,
-    ``configuration/interface.py:7-51``)."""
+    ``configuration/interface.py:7-51``). A string is treated as a path
+    to a YAML override file (reference ``generator.py:96-101``); any
+    other non-mapping raises ConfigurationError instead of crashing
+    deep in the merge."""
+    if isinstance(overrides, str):
+        import os
+
+        if not os.path.exists(overrides):
+            raise ConfigurationError(
+                f"String config {overrides!r} is not a path to an override file "
+                "(pass a mapping, a YAML file path, or NO_NOISE)"
+            )
+        try:
+            import yaml
+        except ImportError as ex:  # pragma: no cover
+            raise ConfigurationError(
+                f"Reading the YAML config {overrides!r} requires PyYAML, which is not installed"
+            ) from ex
+        with open(overrides) as f:
+            overrides = yaml.safe_load(f)
+    if overrides is not None and not isinstance(overrides, Mapping):
+        raise ConfigurationError(
+            f"config overrides must be a mapping (or a YAML file path); got {type(overrides).__name__}"
+        )
     cfg = {name: baseline_config(spec) for name, spec in D.DATASETS.items()}
     if overrides:
         _merge(cfg, overrides, path=())

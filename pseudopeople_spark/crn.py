@@ -60,7 +60,10 @@ def _mix_decision(seed: int, decision: str) -> int:
     acc = int(seed) % _MINSTD_M
     for ch in decision:
         acc = (acc * 31 + ord(ch)) % _MINSTD_M
-    return acc + 1  # never 0 (0 is a fixed point of the LCG)
+    # range [1, M-1]: never 0 (the LCG's fixed point) AND never M itself
+    # (acc == M-1 would give acc+1 == M ≡ 0 mod M, degenerating x1 to
+    # x0*A%M — keys ≡ 0 mod M would then draw u=0.0 forever)
+    return acc % (_MINSTD_M - 1) + 1
 
 
 def portable_u01(key: Column | str, seed: int, decision: str) -> Column:
@@ -118,18 +121,3 @@ def splitmix64_u01(parts: "list[np.ndarray | int]") -> np.ndarray:
     """Vectorized uniform [0,1) from integer key parts (numpy, stateless)."""
     z = key64(parts)
     return (z >> np.uint64(11)).astype(np.float64) * (1.0 / float(1 << 53))
-
-
-def str_key64(s: "np.ndarray") -> np.ndarray:
-    """Stable uint64 hash of a numpy array of Python strings (FNV-1a).
-
-    Vectorized enough for per-batch use: operates per unique value.
-    """
-    uniq, inv = np.unique(s.astype("O"), return_inverse=True)
-    out = np.empty(len(uniq), dtype=np.uint64)
-    for i, v in enumerate(uniq):
-        h = 0xCBF29CE484222325
-        for b in str(v).encode("utf-8", "surrogatepass"):
-            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        out[i] = h
-    return out[inv]

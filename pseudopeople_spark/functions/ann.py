@@ -69,6 +69,10 @@ def train_ivf_centroids(
     else:
         sampled = vectors
     pdf = sampled.select(id_col, vec_col).orderBy(id_col).limit(sample_limit).toPandas()
+    if len(pdf) == 0:
+        raise ValueError(
+            "train_ivf_centroids: no vectors to train on (empty or fully-filtered input)"
+        )
     m = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     return _kmeans(_normalize(m), k, seed=seed)
 

@@ -77,17 +77,36 @@ def jaro_winkler(s1: str, s2: str, prefix_scale: float = 0.1, boost_threshold: f
     return j
 
 
+# Process-persistent memo tables for the name-similarity UDFs. A
+# per-batch dict re-pays every distinct pair's O(len^2) cost on every
+# 20k-row Arrow batch (42M pairs / 20k = ~2000 re-computations of the
+# Zipf head); the python workers are reused across tasks
+# (spark.python.worker.reuse), so a MODULE-level dict reached via
+# import survives batches AND tasks. Bounded: cleared when it exceeds
+# the cap (names are Zipfian — the head re-fills instantly).
+_JW_CACHE: "dict[tuple, float]" = {}
+_FIRST_SIM_CACHES: "dict[str, dict]" = {}
+_CACHE_MAX = 4_000_000
+
+
 @F.pandas_udf(T.DoubleType())
 def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    from pseudopeople_spark.functions import similarity as S  # worker-side module ref
+
     av = a.to_numpy(dtype=object)
     bv = b.to_numpy(dtype=object)
-    # names are Zipfian: memoize per batch (hit rates >90% on real name
-    # columns turn the O(len^2) JW into a dict lookup)
-    cache: "dict[tuple, float]" = {}
+    cache = S._JW_CACHE
+    if len(cache) > S._CACHE_MAX:
+        cache.clear()
     out = []
     for x, y in zip(av, bv):
         if x is None or y is None:
             out.append(None)
+            continue
+        if x == y:
+            # equal strings dominate real name-pair columns; jaro("","")
+            # is 0.0 by contract (matches DuckDB), everything else 1.0
+            out.append(1.0 if x else 0.0)
             continue
         k = (x, y)
         v = cache.get(k)
@@ -120,13 +139,23 @@ def make_first_name_sim_udf(families: "dict[str, frozenset]"):
     relation alone is never near-exact identity) but above the
     disagreement veto.
 
-    ONE Arrow UDF with a per-batch memo keyed on the (Zipfian) name
-    pair: each distinct pair's ~|family|^2 Levenshteins run once per
-    batch instead of once per row (the JVM-expression version cost ~2x
-    of the whole scoring stage at 42M pairs)."""
+    ONE Arrow UDF with a PROCESS-persistent memo (module-level, see
+    _FIRST_SIM_CACHES) keyed on the (Zipfian) name pair: each distinct
+    pair's ~|family|^2 Levenshteins run once per python worker, not once
+    per row or per Arrow batch. Fast paths (value-identical): equal
+    names short-circuit to 1.0, and the family logic is skipped when
+    the plain JW already exceeds the 0.93 family cap."""
+
+    # cache namespace per distinct families table (tests may pass
+    # custom tables; keys distinguish them)
+    fam_token = f"{len(families)}:{hash(frozenset(families))}"
 
     def pair_sim(a: str, b: str) -> float:
+        if a == b:
+            return 1.0 if a else 0.0  # jaro("","") is 0.0 by contract
         s = jaro_winkler(a, b)
+        if s >= 0.93:
+            return s  # family evidence is capped at 0.93 — cannot raise s
         fa = families.get(a)
         fb = families.get(b)
         if fa is not None and fb is not None:
@@ -147,13 +176,20 @@ def make_first_name_sim_udf(families: "dict[str, frozenset]"):
 
     @F.pandas_udf(T.DoubleType())
     def first_sim(a: pd.Series, b: pd.Series) -> pd.Series:
+        from pseudopeople_spark.functions import similarity as S  # worker-side module ref
+
+        cache = S._FIRST_SIM_CACHES.setdefault(fam_token, {})
+        if len(cache) > S._CACHE_MAX:
+            cache.clear()
         av = a.to_numpy(dtype=object)
         bv = b.to_numpy(dtype=object)
-        cache: "dict[tuple, float]" = {}
         out = []
         for x, y in zip(av, bv):
             if x is None or y is None:
                 out.append(None)
+                continue
+            if x == y:
+                out.append(1.0 if x else 0.0)
                 continue
             k = (x, y)
             v = cache.get(k)

@@ -40,33 +40,6 @@ def _kv(df: DataFrame, key: Column, prefix: str, id_col: str) -> DataFrame:
     )
 
 
-def phonetic_blocks(
-    df: DataFrame, id_col: str = "record_id", last_col: str = "last_name", dob_col: str = "dob"
-) -> DataFrame:
-    """soundex + double-metaphone keys, salted with the DOB birth-year
-    to bound block sizes (a pure key refinement, no shuffle beyond the
-    pair-gen join itself). Year-corrupted records fall out of these
-    blocks but are caught by the sorted-neighborhood and MinHash passes
-    (name-adjacent / name-similar respectively)."""
-    decade = F.coalesce(F.substring(F.col(dob_col), 1, 4), F.lit("x"))
-    sdx = _kv(df, F.concat(F.soundex(F.upper(F.col(last_col))), F.lit("|"), decade), "sdx", id_col)
-    dm = df.select(F.col(id_col), double_metaphone_udf(F.col(last_col)).alias("_dm"), decade.alias("_dec"))
-    dmp = _kv(dm, F.concat(F.col("_dm.primary"), F.lit("|"), F.col("_dec")), "dmp", id_col)
-    dms = _kv(
-        dm.where(F.col("_dm.secondary") != F.col("_dm.primary")),
-        F.concat(F.col("_dm.secondary"), F.lit("|"), F.col("_dec")),
-        "dms",
-        id_col,
-    )
-    return sdx.unionByName(dmp).unionByName(dms)
-
-
-def exact_blocks(df: DataFrame, column: str, id_col: str = "record_id", prefix: str | None = None) -> DataFrame:
-    """Exact-match key on a (normalized) identifier column, e.g. SSN
-    digits."""
-    return _kv(df, F.col(column), prefix or column, id_col)
-
-
 def sorted_neighborhood_pairs(
     df: DataFrame,
     sort_cols: "list[str]",

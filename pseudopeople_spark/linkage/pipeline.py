@@ -89,7 +89,7 @@ def normalize_records(
     (the conservative single-extract behavior) — multi-year extracts
     fed as ONE dataset must pass one of them or true cross-period
     pairs are hard-vetoed."""
-    m = column_map or {}
+    m = dict(column_map) if column_map else {}  # never mutate the caller's map
 
     def src(canon: str) -> "Column | None":
         name = m.get(canon, canon)

@@ -224,6 +224,10 @@ def tiered_match(
     ssn_near = (
         F.col("l_ssn_digits").isNotNull()
         & (F.length("l_ssn_digits") == 9)
+        # BOTH sides must be full SSNs: unlike equality, lev<=2 does not
+        # imply equal lengths — a 7-digit truncated/masked SSN matches
+        # ~100 different full SSNs and is not 1-in-10^5 evidence
+        & (F.length("r_ssn_digits") == 9)
         & (F.levenshtein("l_ssn_digits", "r_ssn_digits") <= 2)
     )
     tier1b = ssn_near & (

@@ -98,10 +98,14 @@ def _read_asset(fname: str) -> "list[str]":
 
 
 def _load_rules(fname: str) -> "dict[str, tuple[str, ...]]":
-    out: "dict[str, tuple[str, ...]]" = {}
+    """token -> ordered variant tuple, from one-row-per-(token,variant)
+    CSVs (row order = draw-CDF order). The old '|'-joined single-row
+    format corrupted rules whose variant IS '|' (an OCR confusion
+    character) into deletions."""
+    out: "dict[str, list[str]]" = {}
     for rec in _csv.DictReader(_read_asset(fname)):
-        out[rec["token"]] = tuple(rec["variants"].split("|")) if rec["variants"] else ("",)
-    return out
+        out.setdefault(rec["token"], []).append(rec["variant"])
+    return {k: tuple(v) for k, v in out.items()}
 
 
 def _load_pairs(fname: str) -> "list[tuple[str, str]]":

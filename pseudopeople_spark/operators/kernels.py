@@ -205,8 +205,9 @@ def apply_token_noise_plan(
             & (u01(F.col(key_col), seed, decision) < cp)
         )
     udf = make_combined_token_noise_udf(specs)
-    key64 = F.xxhash64(F.lit(str(seed)), F.lit(f"tok_{column}"), F.col(key_col).cast("string"))
-    return df.withColumn(column, udf(key64, *mask_cols, F.col(column)))
+    # key_expr, not `key64`: that name is the imported crn numpy helper
+    key_expr = F.xxhash64(F.lit(str(seed)), F.lit(f"tok_{column}"), F.col(key_col).cast("string"))
+    return df.withColumn(column, udf(key_expr, *mask_cols, F.col(column)))
 
 
 def apply_token_noise_all_columns(

@@ -29,11 +29,55 @@ class DataSourceError(Exception):
 COMPATIBLE_DATA_VERSION = (1, 4, 2)
 
 
-def _changelog_version(changelog_path: str) -> "tuple[int, ...]":
+# ---------------------------------------------------------------------------
+# filesystem helpers that work for BOTH local paths and Hadoop-visible
+# URIs (s3a://, hdfs://, gs://, ...) — os.path.* is always False for a
+# URI, which would silently route a cluster user's multi-dataset source
+# root down the single-directory branch and skip the version gate
+# ---------------------------------------------------------------------------
+
+def _is_uri(path: str) -> bool:
+    return "://" in path and not path.startswith("file:")
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def path_is_dir(path: str, spark: "SparkSession | None" = None) -> bool:
+    if spark is None or not _is_uri(path):
+        return os.path.isdir(path[len("file://"):] if path.startswith("file://") else path)
+    fs, hp = _hadoop_fs(spark, path)
+    return bool(fs.exists(hp)) and bool(fs.getFileStatus(hp).isDirectory())
+
+
+def path_exists(path: str, spark: "SparkSession | None" = None) -> bool:
+    if spark is None or not _is_uri(path):
+        return os.path.exists(path[len("file://"):] if path.startswith("file://") else path)
+    fs, hp = _hadoop_fs(spark, path)
+    return bool(fs.exists(hp))
+
+
+def _read_first_line(path: str, spark: "SparkSession | None" = None) -> str:
+    if spark is None or not _is_uri(path):
+        with open(path[len("file://"):] if path.startswith("file://") else path) as f:
+            return f.readline()
+    fs, hp = _hadoop_fs(spark, path)
+    stream = fs.open(hp)
+    try:
+        # commons-io ships on Spark's classpath; CHANGELOGs are tiny
+        text = spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return text.splitlines()[0] if text else ""
+
+
+def _changelog_version(changelog_path: str, spark: "SparkSession | None" = None) -> "tuple[int, ...]":
     """First line of CHANGELOG.rst looks like ``**1.4.2 - 2023-05-24**``
     (reference ``_get_data_changelog_version``, interface.py:216-220)."""
-    with open(changelog_path) as f:
-        first = f.readline()
+    first = _read_first_line(changelog_path, spark)
     try:
         ver = first.split("**")[1].split("-")[0].strip()
         parts = tuple(int(p) for p in re.findall(r"\d+", ver))
@@ -48,7 +92,9 @@ def _changelog_version(changelog_path: str) -> "tuple[int, ...]":
     return parts
 
 
-def validate_source_compatibility(source: str, dataset_name: str) -> str:
+def validate_source_compatibility(
+    source: str, dataset_name: str, spark: "SparkSession | None" = None
+) -> str:
     """Reference-parity source validation
     (``interface.py:validate_source_compatibility:184-213``):
 
@@ -61,21 +107,23 @@ def validate_source_compatibility(source: str, dataset_name: str) -> str:
 
     Returns the dataset subdirectory path.
     """
-    sub = os.path.join(source, dataset_name)
-    if not os.path.isdir(sub):
+    sub = source.rstrip("/") + "/" + dataset_name if _is_uri(source) else os.path.join(source, dataset_name)
+    if not path_is_dir(sub, spark):
         raise FileNotFoundError(
             f"Could not find '{dataset_name}' in '{source}'. Please check that the "
             "provided source directory is correct. If using the sample data, no "
             "source is required. If providing a source, a directory should be "
             f"provided that has a subdirectory for '{dataset_name}'."
         )
-    changelog = os.path.join(source, "CHANGELOG.rst")
-    if not os.path.exists(changelog):
+    changelog = (
+        source.rstrip("/") + "/CHANGELOG.rst" if _is_uri(source) else os.path.join(source, "CHANGELOG.rst")
+    )
+    if not path_exists(changelog, spark):
         raise DataSourceError(
             "The provided simulated population data is incompatible with this engine.\n"
             "An older version of simulated population data has been provided."
         )
-    version = _changelog_version(changelog)
+    version = _changelog_version(changelog, spark)
     if version > COMPATIBLE_DATA_VERSION:
         raise DataSourceError(
             "The provided simulated population data is incompatible with this engine.\n"

@@ -27,13 +27,21 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 
 
 def write_rules(path: str, header: str, rows: "list[tuple[str, list[str]]]") -> None:
+    # ONE ROW PER (token, variant): '|' is itself an OCR variant
+    # character, so any join-delimiter encoding corrupts rules whose
+    # variant IS the delimiter (the old '|'-joined format turned the
+    # reference's '1'->'|' confusion into a deletion). Variant order is
+    # row order — it defines the draw CDF indexing.
     with open(path, "w") as f:
         f.write(header)
         w = csv.writer(f)
-        w.writerow(["token", "variants"])
+        w.writerow(["token", "variant"])
+        n = 0
         for token, variants in rows:
-            w.writerow([token, "|".join(variants)])
-    print(f"wrote {path} ({len(rows)} rows)")
+            for v in variants:
+                w.writerow([token, v])
+                n += 1
+    print(f"wrote {path} ({n} rows)")
 
 
 def nicknames() -> None:
