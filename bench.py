@@ -79,7 +79,7 @@ def bench_noising(spark, n_rows: int = 1_000_000) -> "tuple[float, float, int]":
 
     Returns (cold_wall, warm_wall, rows). cold = first run (whole-stage
     codegen + JIT compile of the ~400-expression projection). warm = min
-    over three subsequent runs: HotSpot compiles the huge generated
+    over five subsequent runs: HotSpot compiles the huge generated
     methods in the background across the first 1-3 executions (observed
     run walls on this plan: 35s, 65s, 81s, then a stable 9s), so a
     single second run measures JIT contention, not the steady-state
@@ -98,7 +98,10 @@ def bench_noising(spark, n_rows: int = 1_000_000) -> "tuple[float, float, int]":
     mat()
     cold = time.time() - t0
     walls = []
-    for _ in range(3):
+    # 5 warm runs, min: this sandbox VM shares a throttled host — load
+    # spikes from noisy neighbors inflate individual runs 2-3x, so a
+    # small sample's min is the only stable steady-state estimator
+    for _ in range(5):
         t0 = time.time()
         mat()
         walls.append(time.time() - t0)
