@@ -93,19 +93,44 @@ def minhash_blocks(
     shingles of xxhash64(shingle, i); band key = concat of r signatures.
     Pure JVM expressions: shingles via sequence/transform, min via
     array_min of transform — no UDF, no explode, no extra shuffle."""
-    shingles = ngrams_padded(text_expr, 3)
+    sigs = _minhash_signatures(text_expr, bands * rows_per_band, seed)
     out = None
     for b in range(bands):
-        sig_parts = []
-        for r in range(rows_per_band):
-            i = b * rows_per_band + r
-            sig = F.array_min(F.transform(shingles, lambda s: F.xxhash64(F.lit(seed + i), s)))
-            # pmod (not abs): abs(Long.MIN_VALUE) overflows under ANSI
-            sig_parts.append(F.conv(F.pmod(sig, F.lit(2**62)).cast("string"), 10, 36))
+        sig_parts = [
+            _sig_str(sigs[f"c{b * rows_per_band + r}"]) for r in range(rows_per_band)
+        ]
         key = F.concat_ws("_", *sig_parts)
         kv = _kv(df.where(text_expr.isNotNull() & (F.length(text_expr) > 0)), key, f"mh{b}", id_col)
         out = kv if out is None else out.unionByName(kv)
     return out
+
+
+def _minhash_signatures(text_expr: Column, n_hashes: int, seed: int) -> Column:
+    """All MinHash signatures in ONE traversal of the shingle array:
+    ``aggregate`` folds the shingles into an n_hashes-field struct of
+    running minima. The naive form — one
+    ``array_min(transform(shingles, xxhash64))`` per hash function —
+    rebuilds the shingle array and re-walks it n_hashes times (codegen
+    does not common-subexpression-eliminate across higher-order-function
+    lambdas); measured 3-4x slower and GC-unstable at 750k rows."""
+    shingles = ngrams_padded(text_expr, 3)
+    max_long = (1 << 63) - 1
+    acc0 = F.struct(*[F.lit(max_long).cast("long").alias(f"c{i}") for i in range(n_hashes)])
+
+    def merge(acc: Column, s: Column) -> Column:
+        return F.struct(
+            *[
+                F.least(acc[f"c{i}"], F.xxhash64(F.lit(seed + i), s)).alias(f"c{i}")
+                for i in range(n_hashes)
+            ]
+        )
+
+    return F.aggregate(shingles, acc0, merge)
+
+
+def _sig_str(sig: Column) -> Column:
+    # pmod (not abs): abs(Long.MIN_VALUE) overflows under ANSI
+    return F.conv(F.pmod(sig, F.lit(2**62)).cast("string"), 10, 36)
 
 
 def all_block_keys(
@@ -131,7 +156,7 @@ def all_block_keys(
     name_text = F.concat_ws(
         " ", F.coalesce(F.col(first_col), F.lit("")), F.coalesce(F.col(last_col), F.lit(""))
     )
-    shingles = ngrams_padded(name_text, 3)
+    sigs = _minhash_signatures(name_text, minhash_bands * minhash_rows, 1337) if minhash_bands else None
 
     key_cols = {
         "sdx": F.when(
@@ -146,11 +171,7 @@ def all_block_keys(
         "ssn": F.when(F.length(ssn_col) == 9, F.concat(F.lit("ssn:"), F.col(ssn_col))),
     }
     for b in range(minhash_bands):
-        sig_parts = []
-        for r in range(minhash_rows):
-            i = b * minhash_rows + r
-            sig = F.array_min(F.transform(shingles, lambda s: F.xxhash64(F.lit(1337 + i), s)))
-            sig_parts.append(F.conv(F.pmod(sig, F.lit(2**62)).cast("string"), 10, 36))
+        sig_parts = [_sig_str(sigs[f"c{b * minhash_rows + r}"]) for r in range(minhash_rows)]
         key_cols[f"mh{b}"] = F.when(
             F.length(name_text) > 1, F.concat(F.lit(f"mh{b}:"), F.concat_ws("_", *sig_parts))
         )

@@ -4,14 +4,23 @@ The pair join is the quadratic danger zone of any ER pipeline: a block
 of size n yields n(n-1)/2 pairs, and block keys are Zipfian (SMITH…).
 Strategy (SURVEY.md §4 "custom Spark work" #1):
 
-* blocks with size <= ``max_block_size``: full within-block self-join
-  (equi-join on block_key with ``id_l < id_r``) — Spark picks
-  sort-merge/shuffled-hash; AQE splits skewed shuffle partitions;
+* blocks with size <= ``max_block_size``: all within-block pairs
+  ``i < j`` — generated WITHOUT a self-join, by exploding each row's
+  follower list (``collect_list`` over the block ordered by record id,
+  frame = 1 following → unbounded following);
 * blocks larger than the cap: a *linear* sorted-neighborhood sweep
-  inside the block (window over the block ordered by record id,
-  ``lead(k)``) — bounded pairs per record instead of quadratic, so the
+  inside the block (same window, frame capped at ``neighborhood_window``
+  followers) — bounded pairs per record instead of quadratic, so the
   Zipf head contributes O(n·w) pairs, never a straggler task;
 * oversized-block counts are reported, never silently dropped.
+
+Physical plan (the point, at 10^12 docs): the whole stage is ONE
+exchange of the block set — hash(block_key) — followed by one sort
+(block_key, record_id) shared by the size-count window and both
+follower windows (the small/big filters preserve partitioning and
+ordering, so the branch windows add no exchange and no sort). The old
+shape (groupBy sizes → join back → self-join small × small) shuffled
+the same block set three times and paid a sort-merge join besides.
 
 Dedup across passes is a ``dropDuplicates`` on the (id_l, id_r) pair —
 one shuffle on the pair key, which also co-locates the pairs for the
@@ -36,30 +45,51 @@ def pairs_from_blocks(
     and dedups ONCE at the end — two full-width dropDuplicates over the
     candidate set is the single biggest avoidable shuffle in the
     pipeline (42M pairs at the 300k-simulant bench)."""
-    sizes = blocks.groupBy("block_key").agg(F.count("*").alias("_bs"))
-    # NOT broadcast: at 10^12 docs the size table has ~1 block key per
-    # few records; let Catalyst/AQE pick the join (both sides hash on
-    # block_key, and the same partitioning is reused by the pair join).
-    b = blocks.join(sizes.where(F.col("_bs") > 1), "block_key", "inner")
+    # One shared sort order for every window in the stage. The count
+    # window declares an explicit full-partition frame so it can carry
+    # the record_id ordering (default frame with orderBy would be
+    # running-count); the follower windows then match its exchange AND
+    # its sort exactly.
+    w_cnt = (
+        Window.partitionBy("block_key")
+        .orderBy("record_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    sized = blocks.withColumn("_bs", F.count("*").over(w_cnt))
 
-    small = b.where(F.col("_bs") <= max_block_size).select("block_key", "record_id")
-    l = small.alias("l")
-    r = small.alias("r")
+    # Small blocks: each row pairs with ALL followers in its block —
+    # the follower list is ≤ (max_block_size - 1) entries, so per-row
+    # state is bounded; the big branch never evaluates this window
+    # (filter BEFORE the window, not a `when` around it: window
+    # functions are computed for every row they see, and an unbounded
+    # collect_list over a Zipf-head block would be O(n²) memory).
+    w_all = (
+        Window.partitionBy("block_key")
+        .orderBy("record_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    small = sized.where((F.col("_bs") > 1) & (F.col("_bs") <= max_block_size))
     quad = (
-        l.join(r, on="block_key")
-        .where(F.col("l.record_id") < F.col("r.record_id"))
-        .select(F.col("l.record_id").alias("id_l"), F.col("r.record_id").alias("id_r"))
+        small.select(
+            F.col("record_id").alias("id_l"),
+            F.collect_list("record_id").over(w_all).alias("_nbrs"),
+        )
+        .select("id_l", F.explode("_nbrs").alias("id_r"))
     )
 
-    big = b.where(F.col("_bs") > max_block_size)
-    w = Window.partitionBy("block_key").orderBy("record_id")
-    # ALL lead(k) neighbors in ONE window pass (a union of per-k windows
-    # re-exchanges and re-sorts the oversized blocks k times)
-    leads = big.select(
-        F.col("record_id").alias("id_l"),
-        F.array(*[F.lead("record_id", k).over(w) for k in range(1, neighborhood_window + 1)]).alias("_nbrs"),
+    # Oversized blocks: linear sweep — only the next `neighborhood_window`
+    # followers (record ids are effectively random within a block, so
+    # this is a uniform sample of the quadratic pair set, and the pairs
+    # a sweep misses are covered by the other blocking passes).
+    w_near = Window.partitionBy("block_key").orderBy("record_id").rowsBetween(1, neighborhood_window)
+    big = sized.where(F.col("_bs") > max_block_size)
+    sweep = (
+        big.select(
+            F.col("record_id").alias("id_l"),
+            F.collect_list("record_id").over(w_near).alias("_nbrs"),
+        )
+        .select("id_l", F.explode("_nbrs").alias("id_r"))
     )
-    sweep = leads.select("id_l", F.explode("_nbrs").alias("id_r")).where(F.col("id_r").isNotNull())
 
     out = quad.unionByName(sweep)
     return out.dropDuplicates(["id_l", "id_r"]) if dedup else out

@@ -245,7 +245,13 @@ def resolve(
                 "l_first_name", "r_first_name", "l_ssn_digits", "r_ssn_digits",
                 "l_byear", "r_byear", "l_dataset", "r_dataset",
                 "l_period", "r_period"]
-        return scoring.score_pairs(with_fields).select(*keep)
+        out = scoring.score_pairs(with_fields).select(*keep)
+        # Fuse the match decision into the same projection: is_match is
+        # pure JVM over the sims just computed, so deciding HERE (one
+        # pass, checkpointed with the scores) means no downstream
+        # consumer ever re-runs the cascade over the full pair set —
+        # match_edges sees the column and only filters.
+        return scoring.tiered_match(out, cfg.threshold, same_dataset_distinct=cfg.unique_within_dataset)
 
     scored = _timed("scoring", _scored)
     edges = scoring.match_edges(scored, cfg.threshold, same_dataset_distinct=cfg.unique_within_dataset)

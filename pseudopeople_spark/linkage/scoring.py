@@ -384,11 +384,21 @@ def match_edges(
     ssn_consensus: bool = True,
 ) -> DataFrame:
     """Tiered match decision (+ identifier-consensus pruning) -> edges
-    for the clustering stage."""
-    edges = tiered_match(scored, threshold, same_dataset_distinct).where(F.col("is_match"))
+    for the clustering stage.
+
+    When ``scored`` already carries an ``is_match`` column (the
+    pipeline fuses :func:`tiered_match` into the scoring stage's
+    checkpointed projection — one pass over the full pair set instead
+    of re-deriving the cascade on every downstream scan), the decision
+    is reused as-is."""
+    decided = scored if "is_match" in scored.columns else tiered_match(scored, threshold, same_dataset_distinct)
+    edges = decided.where(F.col("is_match"))
     keep = ["id_l", "id_r", "score"]
     if ssn_consensus and "l_ssn_digits" in edges.columns:
-        edges = prune_edges_by_ssn_consensus(
-            edges.select(*keep, "l_ssn_digits", "r_ssn_digits")
-        )
+        # The consensus prune scans its input 3x (vote union from both
+        # sides + the final anti-join); pin the — tiny — thresholded
+        # edge set first so those scans do not each re-filter the full
+        # scored pair set.
+        edges = edges.select(*keep, "l_ssn_digits", "r_ssn_digits").localCheckpoint()
+        edges = prune_edges_by_ssn_consensus(edges)
     return edges.select(*keep)

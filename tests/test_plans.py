@@ -99,3 +99,56 @@ def test_pair_dedup_reuses_one_exchange(spark):
         if "Exchange hashpartitioning" in l and "id_l#" in l
     ]
     assert len(id_l_exchanges) == 1, id_l_exchanges
+
+
+def test_pairs_from_blocks_single_block_exchange_and_semantics(spark):
+    """pairs_from_blocks must (a) produce exactly the brute-force
+    within-block i<j pair set for small blocks plus a linear sweep for
+    oversized ones, and (b) cost ONE exchange of the block set — the
+    count window and both follower windows share hash(block_key) and
+    the (block_key, record_id) sort."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from pseudopeople_spark.linkage import pairs as pairgen
+
+    # 40 small blocks of mixed sizes 1..6 + one oversized block of 500
+    rows = []
+    rid = 0
+    for b in range(40):
+        for _ in range(b % 6 + 1):
+            rows.append((f"b{b:02d}", f"r{rid:05d}"))
+            rid += 1
+    big_ids = [f"z{j:05d}" for j in range(500)]
+    rows += [("BIG", x) for x in big_ids]
+    blocks = spark.createDataFrame(rows, "block_key string, record_id string")
+
+    got = {
+        (r.id_l, r.id_r)
+        for r in pairgen.pairs_from_blocks(
+            blocks, max_block_size=100, neighborhood_window=5
+        ).collect()
+    }
+
+    expect = set()
+    by_key: dict = {}
+    for k, r in rows:
+        by_key.setdefault(k, []).append(r)
+    for k, ids in by_key.items():
+        ids = sorted(ids)
+        if k == "BIG":
+            for i, a in enumerate(ids):
+                for b2 in ids[i + 1 : i + 6]:
+                    expect.add((a, b2))
+        else:
+            expect.update(itertools.combinations(ids, 2))
+    assert got == expect
+
+    plan = physical_plan(pairgen.pairs_from_blocks(blocks, dedup=False))
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    block_key_exchanges = [l for l in exchanges if "block_key" in l]
+    # one branch-shared exchange on block_key; union of the two filtered
+    # branches must NOT re-shuffle (ReusedExchange or a single node)
+    assert len(block_key_exchanges) <= 2, plan  # <=2: Spark may not dedupe across branches pre-AQE
+    assert not [l for l in exchanges if "id_r" in l and "id_l" in l]
