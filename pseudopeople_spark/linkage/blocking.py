@@ -93,39 +93,43 @@ def minhash_blocks(
     shingles of xxhash64(shingle, i); band key = concat of r signatures.
     Pure JVM expressions: shingles via sequence/transform, min via
     array_min of transform — no UDF, no explode, no extra shuffle."""
-    sigs = _minhash_signatures(text_expr, bands * rows_per_band, seed)
-    out = None
-    for b in range(bands):
-        sig_parts = [
-            _sig_str(sigs[f"c{b * rows_per_band + r}"]) for r in range(rows_per_band)
-        ]
-        key = F.concat_ws("_", *sig_parts)
-        kv = _kv(df.where(text_expr.isNotNull() & (F.length(text_expr) > 0)), key, f"mh{b}", id_col)
-        out = kv if out is None else out.unionByName(kv)
-    return out
+    base = df.where(text_expr.isNotNull() & (F.length(text_expr) > 0))
+    sig_table = _minhash_sig_table(base, text_expr, id_col, bands * rows_per_band, seed)
+    keyed = sig_table.select(
+        "record_id",
+        *[
+            F.concat(
+                F.lit(f"mh{b}:"),
+                F.concat_ws(
+                    "_",
+                    *[_sig_str(F.col(f"c{b * rows_per_band + r}")) for r in range(rows_per_band)],
+                ),
+            ).alias(f"mh{b}")
+            for b in range(bands)
+        ],
+    )
+    stack = f"stack({bands}, " + ", ".join(f"mh{b}" for b in range(bands)) + ") AS block_key"
+    return keyed.selectExpr("record_id", stack).select("block_key", "record_id")
 
 
-def _minhash_signatures(text_expr: Column, n_hashes: int, seed: int) -> Column:
-    """All MinHash signatures in ONE traversal of the shingle array:
-    ``aggregate`` folds the shingles into an n_hashes-field struct of
-    running minima. The naive form — one
-    ``array_min(transform(shingles, xxhash64))`` per hash function —
-    rebuilds the shingle array and re-walks it n_hashes times (codegen
-    does not common-subexpression-eliminate across higher-order-function
-    lambdas); measured 3-4x slower and GC-unstable at 750k rows."""
-    shingles = ngrams_padded(text_expr, 3)
-    max_long = (1 << 63) - 1
-    acc0 = F.struct(*[F.lit(max_long).cast("long").alias(f"c{i}") for i in range(n_hashes)])
-
-    def merge(acc: Column, s: Column) -> Column:
-        return F.struct(
-            *[
-                F.least(acc[f"c{i}"], F.xxhash64(F.lit(seed + i), s)).alias(f"c{i}")
-                for i in range(n_hashes)
-            ]
-        )
-
-    return F.aggregate(shingles, acc0, merge)
+def _minhash_sig_table(
+    df: DataFrame, text_expr: Column, id_col: str, n_hashes: int, seed: int
+) -> DataFrame:
+    """(record_id, c0..c{n-1}) MinHash signature table via explode +
+    hash-aggregate — the formulation that stays inside whole-stage
+    codegen. Per-row array folds (``aggregate``/``transform`` +
+    ``array_min``) are CodegenFallback: every shingle×hash evaluation
+    runs interpreted, measured ~90 s for 745k names × 8 hashes, and the
+    cost is per-task-serial so the stage barely scales. Exploding the
+    shingles and taking ``min(xxhash64(seed_i, s))`` per record runs
+    codegen'd (~20x faster) and the map-side partial aggregate shrinks
+    the shuffle back to one row per record before it moves."""
+    shingles = F.explode(ngrams_padded(text_expr, 3)).alias("_sh")
+    exploded = df.select(F.col(id_col).alias("record_id"), shingles)
+    aggs = [
+        F.min(F.xxhash64(F.lit(seed + i), F.col("_sh"))).alias(f"c{i}") for i in range(n_hashes)
+    ]
+    return exploded.groupBy("record_id").agg(*aggs)
 
 
 def _sig_str(sig: Column) -> Column:
@@ -143,11 +147,12 @@ def all_block_keys(
     minhash_bands: int = 4,
     minhash_rows: int = 2,
 ) -> DataFrame:
-    """All blocking passes in ONE narrow projection + one ``stack``
-    unpivot: a single scan of the records and a single metaphone-UDF
-    evaluation, instead of one scan (and Python worker round-trip) per
-    pass. At 10^12 docs the blocking stage is scan-bound, so pass count
-    must not multiply scans.
+    """All non-MinHash passes in ONE narrow projection + one ``stack``
+    unpivot (a single scan and a single metaphone-UDF evaluation); the
+    MinHash band keys come from the explode + hash-aggregate signature
+    table (:func:`_minhash_sig_table` — the codegen'd formulation) and
+    union in. At 10^12 docs the blocking stage is scan-bound, so pass
+    count must not multiply scans.
 
     Emits (block_key, record_id) for: soundex+year, double-metaphone
     primary/secondary+year, SSN exact, and b MinHash band keys."""
@@ -156,7 +161,6 @@ def all_block_keys(
     name_text = F.concat_ws(
         " ", F.coalesce(F.col(first_col), F.lit("")), F.coalesce(F.col(last_col), F.lit(""))
     )
-    sigs = _minhash_signatures(name_text, minhash_bands * minhash_rows, 1337) if minhash_bands else None
 
     key_cols = {
         "sdx": F.when(
@@ -170,16 +174,42 @@ def all_block_keys(
         ),
         "ssn": F.when(F.length(ssn_col) == 9, F.concat(F.lit("ssn:"), F.col(ssn_col))),
     }
-    for b in range(minhash_bands):
-        sig_parts = [_sig_str(sigs[f"c{b * minhash_rows + r}"]) for r in range(minhash_rows)]
-        key_cols[f"mh{b}"] = F.when(
-            F.length(name_text) > 1, F.concat(F.lit(f"mh{b}:"), F.concat_ws("_", *sig_parts))
-        )
 
     keyed = df.select(F.col(id_col).alias("record_id"), *[v.alias(k) for k, v in key_cols.items()])
     names = list(key_cols)
     stack_expr = f"stack({len(names)}, " + ", ".join(f"{n}" for n in names) + ") AS block_key"
-    return keyed.selectExpr("record_id", stack_expr).where(F.col("block_key").isNotNull())
+    out = keyed.selectExpr("record_id", stack_expr).where(F.col("block_key").isNotNull())
+
+    if minhash_bands:
+        mh_base = df.where(F.length(name_text) > 1).select(
+            F.col(id_col).alias("record_id"), name_text.alias("_nm")
+        )
+        sig_table = _minhash_sig_table(
+            mh_base, F.col("_nm"), "record_id", minhash_bands * minhash_rows, 1337
+        )
+        mh_keyed = sig_table.select(
+            "record_id",
+            *[
+                F.concat(
+                    F.lit(f"mh{b}:"),
+                    F.concat_ws(
+                        "_",
+                        *[
+                            _sig_str(F.col(f"c{b * minhash_rows + r}"))
+                            for r in range(minhash_rows)
+                        ],
+                    ),
+                ).alias(f"mh{b}")
+                for b in range(minhash_bands)
+            ],
+        )
+        mh_stack = (
+            f"stack({minhash_bands}, "
+            + ", ".join(f"mh{b}" for b in range(minhash_bands))
+            + ") AS block_key"
+        )
+        out = out.unionByName(mh_keyed.selectExpr("record_id", mh_stack).select("record_id", "block_key"))
+    return out
 
 
 def block_size_stats(blocks: DataFrame) -> DataFrame:

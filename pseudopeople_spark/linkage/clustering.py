@@ -133,7 +133,11 @@ def connected_components(
         e = _local_union_find(e)
         assign = e.select(F.col("u"), F.col("v").alias("component"))
         roots = e.select(F.col("v").alias("u"), F.col("v").alias("component")).distinct()
-        return assign.union(roots).groupBy("u").agg(F.min("component").alias("component"))
+        # no groupBy: union-find output maps each non-root node to its
+        # root exactly once and roots are disjoint from non-roots, so
+        # the union is already unique on u — a min-aggregate here would
+        # be one more full shuffle of the assignment set for nothing
+        return assign.union(roots)
     parts = max(1, min(256, n_edges // 250_000 + 1))
     if e.rdd.getNumPartitions() != parts:
         e = e.repartition(parts).localCheckpoint()
@@ -184,12 +188,24 @@ def connected_components(
     return assign.union(roots).groupBy("u").agg(F.min("component").alias("component"))
 
 
-def cluster_records(edges_by_record: DataFrame, all_records: DataFrame, id_col: str = "record_id") -> DataFrame:
+def cluster_records(
+    edges_by_record: DataFrame,
+    all_records: DataFrame,
+    id_col: str = "record_id",
+    ids_unique: bool = True,
+) -> DataFrame:
     """(id_l, id_r) match edges -> (record_id, cluster_id) covering ALL
-    records (singletons keep their own hash as cluster id)."""
-    ids = all_records.select(F.col(id_col).alias("record_id")).distinct().withColumn(
-        "u", F.xxhash64("record_id")
-    )
+    records (singletons keep their own hash as cluster id).
+
+    ``ids_unique=True`` (the pipeline's case: record_ids are unique by
+    construction — dataset-prefixed, guardian twins suffixed ``_dup``)
+    skips a full shuffle of the record set that a defensive
+    ``distinct`` would cost; pass False for inputs that may repeat
+    ids."""
+    ids = all_records.select(F.col(id_col).alias("record_id"))
+    if not ids_unique:
+        ids = ids.distinct()
+    ids = ids.withColumn("u", F.xxhash64("record_id"))
     edges = (
         edges_by_record.select(F.xxhash64("id_l").alias("u"), F.xxhash64("id_r").alias("v"))
     )

@@ -11,8 +11,16 @@ so the measurement isolates the pipeline whose shuffles/UDFs must
 scale. Each parallelism level runs in its own subprocess (one JVM per
 SparkContext).
 
-Usage: python tools/bench_scaling.py [n_simulants] -> writes
-BENCH/SCALING.md and prints one JSON line.
+Usage: python tools/bench_scaling.py [n_simulants] [lo] [hi] [repeats]
+-> writes BENCH/SCALING.md and prints one JSON line.
+
+This sandbox VM shares a throttled host with noisy neighbors: external
+load of 5-6 cores (observed with ZERO local processes) inflates a leg
+2-3x, which is fatal to a ratio-of-walls metric. Each leg therefore
+(a) WAITS for the 1-min loadavg to drop under QUIET_LOAD before
+launching, (b) records loadavg at start and end, and (c) with
+repeats > 1 the per-level wall is the MIN across repeats (legs
+alternate lo/hi so a load spike cannot bias one level).
 """
 
 from __future__ import annotations
@@ -24,6 +32,23 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+QUIET_LOAD = float(os.environ.get("SCALING_QUIET_LOAD", "1.5"))
+QUIET_TIMEOUT_S = int(os.environ.get("SCALING_QUIET_TIMEOUT_S", "1800"))
+
+
+def _loadavg() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
+def _wait_quiet() -> float:
+    t0 = time.time()
+    while time.time() - t0 < QUIET_TIMEOUT_S:
+        load = _loadavg()
+        if load < QUIET_LOAD:
+            return load
+        time.sleep(30)
+    return _loadavg()
 
 
 def worker(cores: int, n: int) -> None:
@@ -53,6 +78,7 @@ def worker(cores: int, n: int) -> None:
     records = nc.unionByName(nw).unionByName(ns).localCheckpoint()  # noising paid OUTSIDE the clock
     n_records = records.count()
 
+    load_start = _loadavg()
     t0 = time.time()
     res = resolve(spark, records, ResolveConfig())
     n_pairs = res["pairs"].count()
@@ -67,6 +93,8 @@ def worker(cores: int, n: int) -> None:
         "resolve_sec": round(wall, 2),
         "pairs_per_sec": round(n_pairs / wall, 1),
         "stage_seconds": res["stage_seconds"],
+        "external_load_start": load_start,
+        "external_load_end": _loadavg(),
     }))
     spark.stop()
 
@@ -75,17 +103,26 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
     lo = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     hi = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-    results = {}
-    for cores in (lo, hi):
-        out = subprocess.run(
-            [sys.executable, __file__, "--worker", str(cores), str(n)],
-            capture_output=True, text=True, cwd=REPO,
-        )
-        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
-        if not lines:
-            sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:])
-            raise RuntimeError(f"worker {cores} produced no result")
-        results[cores] = json.loads(lines[-1])
+    repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    results: dict = {}
+    all_runs: list = []
+    for _rep in range(repeats):
+        for cores in (lo, hi):
+            load = _wait_quiet()
+            sys.stderr.write(f"[scaling] leg cores={cores} rep={_rep} load={load}\n")
+            out = subprocess.run(
+                [sys.executable, __file__, "--worker", str(cores), str(n)],
+                capture_output=True, text=True, cwd=REPO,
+            )
+            lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+            if not lines:
+                sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:])
+                raise RuntimeError(f"worker {cores} produced no result")
+            run = json.loads(lines[-1])
+            all_runs.append(run)
+            best = results.get(cores)
+            if best is None or run["resolve_sec"] < best["resolve_sec"]:
+                results[cores] = run
     t8, t32 = results[lo]["resolve_sec"], results[hi]["resolve_sec"]
     ratio = hi / lo
     eff = t8 / (ratio * t32)
@@ -94,7 +131,9 @@ def main() -> None:
         "value": round(eff, 3),
         "speedup": round(t8 / t32, 2),
         "n_simulants": n,
+        "repeats": repeats,
         "runs": results,
+        "all_runs": all_runs,
     }
     print(json.dumps(summary))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -107,6 +146,11 @@ def main() -> None:
             "(4N) and comparing candidate-pairs-scored/sec. The timed region is `resolve()`\n"
             "proper (blocking → pair gen → scoring → clustering); the noised input is\n"
             "materialized before the clock starts.\n\n"
+            "**External-load gating.** The host is shared: noisy neighbors burn 5-6 cores\n"
+            "with zero local processes running, inflating a leg 2-3x. Each leg waits for\n"
+            f"1-min loadavg < {QUIET_LOAD} before launching, legs alternate N/4N, and the\n"
+            f"per-level wall is the min over {repeats} repeat(s); the external loadavg at\n"
+            "each leg's start/end is recorded below.\n\n"
             "**Machine calibration.** This sandbox VM does not scale linearly in thread\n"
             "count even for pure-JVM compute: a sha2-sum Spark job measures 3.30x from\n"
             "local[2]→local[8] (0.825 ceiling) and only 2.39x from local[8]→local[32]\n"
@@ -122,6 +166,10 @@ def main() -> None:
             f"**Efficiency relative to the machine's pure-compute ceiling: {eff / 0.825:.3f}**\n\n"
             f"Per-stage seconds at local[{lo}]: `{results[lo]['stage_seconds']}`\n\n"
             f"Per-stage seconds at local[{hi}]: `{results[hi]['stage_seconds']}`\n\n"
+            f"External loadavg (start → end): local[{lo}] "
+            f"{results[lo]['external_load_start']} → {results[lo]['external_load_end']}; "
+            f"local[{hi}] {results[hi]['external_load_start']} → {results[hi]['external_load_end']}. "
+            f"All legs: `{[(r['cores'], r['resolve_sec'], r['external_load_start']) for r in all_runs]}`\n\n"
             "Outputs are identical at both levels (CRN randomness is keyed by record ids,\n"
             "never partition ids — see tests/test_e2e.py partition-invariance tests).\n"
         )
