@@ -74,31 +74,37 @@ def _local_union_find(edges: DataFrame) -> DataFrame:
     nodes the star-edge set never shrinks below the node count, the cap
     never triggers, and the loop stays fully distributed.
     """
+    import numpy as np
     import pandas as pd
 
     pdf = edges.select("u", "v").toPandas()  # Arrow batch transfer
-    parent: "dict[int, int]" = {}
-
-    def find(x: int) -> int:
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != x:  # path compression
-            parent[x], x = r, parent[x]
-        return r
-
-    for a, b in zip(pdf["u"].to_numpy(), pdf["v"].to_numpy()):
-        ru, rv = find(int(a)), find(int(b))
-        if ru != rv:
-            # union by MIN id — the component label the star-rounds
-            # (and the DuckDB oracle) converge to
-            if ru < rv:
-                parent[rv] = ru
-            else:
-                parent[ru] = rv
-    keys = list(parent)
-    out = pd.DataFrame({"u": keys, "v": [find(x) for x in keys]}, dtype="int64")
     spark = edges.sparkSession
+    if len(pdf) == 0:
+        return spark.createDataFrame([], schema="u long, v long")
+    u = pdf["u"].to_numpy(dtype="int64")
+    v = pdf["v"].to_numpy(dtype="int64")
+    # Vectorized min-label propagation with pointer jumping (a scalar
+    # union-find loop in Python costs ~8 s/1M edges of pure driver
+    # time — a FIXED, parallelism-independent cost that caps scaling
+    # efficiency; this converges in O(log diameter) vectorized passes,
+    # well under 1 s at the 2M-edge cap). Labels decrease monotonically
+    # to the component MIN id — the same label the star-rounds (and the
+    # DuckDB oracle) converge to.
+    ids = np.unique(np.concatenate([u, v]))
+    iu = np.searchsorted(ids, u)
+    iv = np.searchsorted(ids, v)
+    parent = np.arange(len(ids), dtype="int64")
+    while True:
+        m = np.minimum(parent[iu], parent[iv])
+        nxt = parent.copy()
+        np.minimum.at(nxt, iu, m)
+        np.minimum.at(nxt, iv, m)
+        nxt = nxt[nxt]  # pointer jumping halves chain depth per pass
+        if np.array_equal(nxt, parent):
+            break
+        parent = nxt
+    nonroot = parent != np.arange(len(ids), dtype="int64")
+    out = pd.DataFrame({"u": ids[nonroot], "v": ids[parent[nonroot]]})
     if len(out) == 0:
         return spark.createDataFrame([], schema="u long, v long")
     return spark.createDataFrame(out)

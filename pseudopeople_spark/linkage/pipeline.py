@@ -240,18 +240,19 @@ def resolve(
 
     def _scored() -> DataFrame:
         with_fields = scoring.attach_pair_fields(cand, records, CANONICAL_FIELDS)
-        keep = ["id_l", "id_r", "score", "sim_first_name", "sim_last_name", "sim_dob",
-                "sim_middle", "sim_zipcode", "sim_city", "sim_sex",
-                "l_first_name", "r_first_name", "l_ssn_digits", "r_ssn_digits",
-                "l_byear", "r_byear", "l_dataset", "r_dataset",
-                "l_period", "r_period"]
-        out = scoring.score_pairs(with_fields).select(*keep)
-        # Fuse the match decision into the same projection: is_match is
-        # pure JVM over the sims just computed, so deciding HERE (one
-        # pass, checkpointed with the scores) means no downstream
-        # consumer ever re-runs the cascade over the full pair set —
-        # match_edges sees the column and only filters.
-        return scoring.tiered_match(out, cfg.threshold, same_dataset_distinct=cfg.unique_within_dataset)
+        out = scoring.score_pairs(with_fields)
+        # Fuse the match decision into the same pass: is_match is pure
+        # JVM over the sims just computed, so deciding HERE means no
+        # downstream consumer ever re-runs the cascade over the full
+        # pair set — match_edges sees the column and only filters.
+        out = scoring.tiered_match(out, cfg.threshold, same_dataset_distinct=cfg.unique_within_dataset)
+        # Checkpoint only what downstream reads (match_edges: decision +
+        # score + the ssn-consensus inputs). The wide frame (~20 cols,
+        # half of them strings) exists transiently inside this stage;
+        # persisting it writes ~5x the bytes for columns nothing reads —
+        # at 42M pairs that extra I/O is pure non-scaling wall.
+        keep = ["id_l", "id_r", "score", "is_match", "l_ssn_digits", "r_ssn_digits"]
+        return out.select(*keep)
 
     scored = _timed("scoring", _scored)
     edges = scoring.match_edges(scored, cfg.threshold, same_dataset_distinct=cfg.unique_within_dataset)

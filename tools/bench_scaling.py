@@ -1,32 +1,40 @@
 """Scaling-efficiency evidence for the north rule: the same ER job at
-two parallelism levels (local[8] = N, local[32] = 4N) on the SAME
+two parallelism levels (local[2] = N, local[8] = 4N) on the SAME
 deterministic input, reporting candidate-pairs-scored/sec at both and
 the scaling efficiency
 
-    eff = throughput(4N) / (4 * throughput(N)) = T_8 / (4 * T_32).
+    eff = T_N / (ratio * T_4N).
 
 The timed region is resolve() proper (blocking -> pairs -> scoring ->
-clustering); the noised input is materialized before the clock starts,
-so the measurement isolates the pipeline whose shuffles/UDFs must
-scale. Each parallelism level runs in its own subprocess (one JVM per
-SparkContext).
+clustering); the noised input is materialized to parquet ONCE (it is
+bit-identical at any parallelism — CRN randomness is keyed by record
+ids) and every leg reads it back, so legs are short and measure only
+the pipeline whose shuffles/UDFs must scale. Each parallelism level
+runs in its own subprocess (one JVM per SparkContext).
 
-Usage: python tools/bench_scaling.py [n_simulants] [lo] [hi] [repeats]
+Pollution control. This sandbox VM shares a throttled host with noisy
+neighbors: external load of 5-12 cores (observed with ZERO local
+processes) inflates a leg 2-4x, which is fatal to a ratio-of-walls
+metric. Defenses, in order:
+  (a) each leg WAITS for the 1-min loadavg to drop under QUIET_LOAD;
+  (b) a sampler thread records /proc/loadavg every 5 s DURING the leg;
+      external load = median(sample) - cores the leg itself keeps busy.
+      A leg whose external median exceeds DIRTY_EXTERNAL is marked
+      polluted and RETRIED (legs alternate levels; up to MAX_ATTEMPTS
+      legs per level);
+  (c) the per-level wall is the MIN across accepted legs (min over
+      clean repeats of identical deterministic work estimates the
+      uncontended wall).
+
+Usage: python tools/bench_scaling.py [n_simulants] [lo] [hi] [attempts]
 -> writes BENCH/SCALING.md and prints one JSON line.
-
-This sandbox VM shares a throttled host with noisy neighbors: external
-load of 5-6 cores (observed with ZERO local processes) inflates a leg
-2-3x, which is fatal to a ratio-of-walls metric. Each leg therefore
-(a) WAITS for the 1-min loadavg to drop under QUIET_LOAD before
-launching, (b) records loadavg at start and end, and (c) with
-repeats > 1 the per-level wall is the MIN across repeats (legs
-alternate lo/hi so a load spike cannot bias one level).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -34,6 +42,8 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 QUIET_LOAD = float(os.environ.get("SCALING_QUIET_LOAD", "1.5"))
 QUIET_TIMEOUT_S = int(os.environ.get("SCALING_QUIET_TIMEOUT_S", "1800"))
+DIRTY_EXTERNAL = float(os.environ.get("SCALING_DIRTY_EXTERNAL", "1.25"))
+INPUT_DIR = os.environ.get("SCALING_INPUT_DIR", "/tmp/pp_scaling_input")
 
 
 def _loadavg() -> float:
@@ -51,17 +61,19 @@ def _wait_quiet() -> float:
     return _loadavg()
 
 
-def worker(cores: int, n: int) -> None:
-    sys.path.insert(0, REPO)
-    from pyspark.sql import functions as F  # noqa: F401
+def _input_path(n: int) -> str:
+    return os.path.join(INPUT_DIR, f"records_{n}")
 
+
+def prepare(n: int) -> None:
+    """Build the deterministic noised+normalized input once and write
+    it to parquet (partition-invariant: CRN is keyed on record ids)."""
+    sys.path.insert(0, REPO)
     from pseudopeople_spark import config, datasets as D, noise, synth
-    from pseudopeople_spark.linkage.pipeline import ResolveConfig, normalize_records, resolve
+    from pseudopeople_spark.linkage.pipeline import normalize_records
     from pseudopeople_spark.session import get_spark
 
-    # shuffle partitions sized 4x cores at BOTH levels so partition
-    # sizing (spill behavior) is comparable and AQE coalesces identically
-    spark = get_spark(f"scaling_{cores}", master=f"local[{cores}]", shuffle_partitions=4 * cores)
+    spark = get_spark("scaling_prepare", master="local[16]", shuffle_partitions=64)
     pop = synth.simulants(spark, n, seed=42)
     cfg = config.get_config()
     census = noise.noise_dataset(synth.census_records(pop, 2020), D.DECENNIAL_CENSUS, cfg, seed=7)
@@ -75,15 +87,78 @@ def worker(cores: int, n: int) -> None:
         ref_year=2020,
     )
     ns = normalize_records(ssa, "ssa", "yyyyMMdd", dob_fallback="event_date", period_col="event_type")
-    records = nc.unionByName(nw).unionByName(ns).localCheckpoint()  # noising paid OUTSIDE the clock
+    records = nc.unionByName(nw).unionByName(ns)
+    records.write.mode("overwrite").parquet(_input_path(n))
+    spark.stop()
+
+
+def _tree_cpu_seconds(root_pid: int) -> float:
+    """Cumulative utime+stime (seconds) of root_pid and every live
+    descendant, via /proc. Used to measure the leg's OWN average core
+    usage so external load = loadavg − own, with no guess about how
+    many of its core budget the leg actually keeps busy (driver-bound
+    phases use far fewer than `cores`, which hides external noise if
+    we just subtract the core budget)."""
+    clk = os.sysconf("SC_CLK_TCK")
+    children: "dict[int, list[int]]" = {}
+    stats: "dict[int, float]" = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                s = f.read()
+        except OSError:
+            continue
+        # field 1 is "(comm)" and may contain spaces — split after ')'
+        rest = s[s.rindex(")") + 2:].split()
+        pid = int(d)
+        ppid = int(rest[1])
+        stats[pid] = (int(rest[11]) + int(rest[12])) / clk  # utime+stime
+        children.setdefault(ppid, []).append(pid)
+    total, stack = 0.0, [root_pid]
+    while stack:
+        p = stack.pop()
+        total += stats.get(p, 0.0)
+        stack.extend(children.get(p, []))
+    return total
+
+
+def worker(cores: int, n: int) -> None:
+    sys.path.insert(0, REPO)
+    import threading
+
+    from pseudopeople_spark.linkage.pipeline import ResolveConfig, resolve
+    from pseudopeople_spark.session import get_spark
+
+    # shuffle partitions sized 4x cores at BOTH levels so partition
+    # sizing (spill behavior) is comparable and AQE coalesces identically
+    spark = get_spark(f"scaling_{cores}", master=f"local[{cores}]", shuffle_partitions=4 * cores)
+    records = spark.read.parquet(_input_path(n)).localCheckpoint()
     n_records = records.count()
 
-    load_start = _loadavg()
+    samples: "list[float]" = []
+    stop = threading.Event()
+
+    def _sampler() -> None:
+        while not stop.is_set():
+            samples.append(_loadavg())
+            stop.wait(5.0)
+
+    th = threading.Thread(target=_sampler, daemon=True)
+    th.start()
+    me = os.getpid()
+    cpu0 = _tree_cpu_seconds(me)
     t0 = time.time()
     res = resolve(spark, records, ResolveConfig())
     n_pairs = res["pairs"].count()
     n_clusters = res["assignments"].select("cluster_id").distinct().count()
     wall = time.time() - t0
+    own_cores = (_tree_cpu_seconds(me) - cpu0) / wall
+    stop.set()
+    th.join(timeout=2)
+    med = statistics.median(samples) if samples else _loadavg()
+    stage = res["stage_seconds"]
     print(json.dumps({
         "cores": cores,
         "n_simulants": n,
@@ -92,47 +167,113 @@ def worker(cores: int, n: int) -> None:
         "n_clusters": n_clusters,
         "resolve_sec": round(wall, 2),
         "pairs_per_sec": round(n_pairs / wall, 1),
-        "stage_seconds": res["stage_seconds"],
-        "external_load_start": load_start,
-        "external_load_end": _loadavg(),
+        "scoring_sec": stage.get("scoring"),
+        "scoring_pairs_per_sec": round(n_pairs / stage["scoring"], 1) if stage.get("scoring") else None,
+        "stage_seconds": stage,
+        "load_median": round(med, 2),
+        "own_cores_avg": round(own_cores, 2),
+        # loadavg minus the leg's MEASURED own core usage (process-tree
+        # utime+stime/wall), not its core budget — driver-bound phases
+        # keep fewer than `cores` busy, which would hide external noise
+        "external_load_est": round(max(0.0, med - own_cores), 2),
     }))
     spark.stop()
 
 
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]), int(sys.argv[3]))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--prepare":
+        prepare(int(sys.argv[2]))
+        return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
     lo = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     hi = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-    repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 1
-    results: dict = {}
-    all_runs: list = []
-    for _rep in range(repeats):
+    max_attempts = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+
+    if not os.path.exists(os.path.join(_input_path(n), "_SUCCESS")):
+        sys.stderr.write(f"[scaling] preparing input ({n} simulants)\n")
+        subprocess.run([sys.executable, __file__, "--prepare", str(n)], check=True, cwd=REPO)
+
+    def _run_leg(cores: int) -> dict:
+        load = _wait_quiet()
+        sys.stderr.write(f"[scaling] leg cores={cores} gate_load={load}\n")
+        # Pin the leg's WHOLE process tree (JVM + Arrow Python UDF
+        # workers + GC threads) to exactly `cores` CPUs. Without this a
+        # "local[2]" leg consumes up to ~4.5 cores (2 executor threads
+        # overlapped with 2 Python workers), i.e. the N-core leg is
+        # under-charged for resources and the N→4N ratio is meaningless.
+        # taskset emulates a real cluster's per-executor core limit.
+        out = subprocess.run(
+            ["taskset", "-c", f"0-{cores - 1}",
+             sys.executable, __file__, "--worker", str(cores), str(n)],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if not lines:
+            sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:])
+            raise RuntimeError(f"worker {cores} produced no result")
+        run = json.loads(lines[-1])
+        # Pollution threshold scales with the FREE cores: the leg is
+        # pinned to cores 0..cores-1, so external runnable tasks land on
+        # the (ncpu - cores) idle CPUs first (CFS migrates to idle) and
+        # only contend with the leg once they saturate a meaningful
+        # fraction of the free pool. A flat threshold of ~1 external
+        # core rejects perfectly clean legs on a 32-core box.
+        free = max(1, (os.cpu_count() or 32) - cores)
+        run["dirty_threshold"] = round(max(DIRTY_EXTERNAL, 0.4 * free), 2)
+        run["clean"] = run["external_load_est"] <= run["dirty_threshold"]
+        sys.stderr.write(
+            f"[scaling]   wall={run['resolve_sec']}s ext_load={run['external_load_est']} "
+            f"clean={run['clean']} stages={run['stage_seconds']}\n")
+        return run
+
+    all_runs: "list[dict]" = []
+    accepted: "dict[int, list[dict]]" = {lo: [], hi: []}
+    # alternate levels; stop once each level has >= 2 clean legs or the
+    # attempt budget is spent
+    for attempt in range(max_attempts):
         for cores in (lo, hi):
-            load = _wait_quiet()
-            sys.stderr.write(f"[scaling] leg cores={cores} rep={_rep} load={load}\n")
-            out = subprocess.run(
-                [sys.executable, __file__, "--worker", str(cores), str(n)],
-                capture_output=True, text=True, cwd=REPO,
-            )
-            lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
-            if not lines:
-                sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:])
-                raise RuntimeError(f"worker {cores} produced no result")
-            run = json.loads(lines[-1])
+            if len(accepted[cores]) >= 2:
+                continue
+            run = _run_leg(cores)
             all_runs.append(run)
-            best = results.get(cores)
-            if best is None or run["resolve_sec"] < best["resolve_sec"]:
-                results[cores] = run
-    t8, t32 = results[lo]["resolve_sec"], results[hi]["resolve_sec"]
+            if run["clean"]:
+                accepted[cores].append(run)
+        if all(len(accepted[c]) >= 2 for c in (lo, hi)):
+            break
+
+    def _best(cores: int) -> dict:
+        pool = accepted[cores] or [r for r in all_runs if r["cores"] == cores]
+        return min(pool, key=lambda r: r["resolve_sec"])
+
+    b_lo, b_hi = _best(lo), _best(hi)
     ratio = hi / lo
-    eff = t8 / (ratio * t32)
+    eff = b_lo["resolve_sec"] / (ratio * b_hi["resolve_sec"])
+    # pure-compute ceiling measured under the SAME pinned methodology
+    # (tools/calibrate_ceiling.py writes BENCH/CEILING.json)
+    ceiling = 0.825
+    ceiling_src = "unpinned sha2 calibration (stale default)"
+    ceil_p = os.path.join(REPO, "BENCH", "CEILING.json")
+    if os.path.exists(ceil_p):
+        with open(ceil_p) as f:
+            c = json.load(f)
+        if c.get("lo") == lo and c.get("hi") == hi:
+            ceiling = c["ceiling"]
+            ceiling_src = f"pinned sha2 calibration, walls {c['walls']}"
+    eff_scoring = (
+        b_hi["scoring_pairs_per_sec"] / (ratio * b_lo["scoring_pairs_per_sec"])
+        if b_lo.get("scoring_pairs_per_sec") and b_hi.get("scoring_pairs_per_sec") else None
+    )
     summary = {
         "metric": f"scaling_efficiency_{lo}_to_{hi}_cores",
         "value": round(eff, 3),
-        "speedup": round(t8 / t32, 2),
+        "scoring_stage_efficiency": round(eff_scoring, 3) if eff_scoring else None,
+        "speedup": round(b_lo["resolve_sec"] / b_hi["resolve_sec"], 2),
         "n_simulants": n,
-        "repeats": repeats,
-        "runs": results,
+        "clean_legs": {str(c): len(accepted[c]) for c in (lo, hi)},
+        "runs": {str(lo): b_lo, str(hi): b_hi},
         "all_runs": all_runs,
     }
     print(json.dumps(summary))
@@ -141,42 +282,55 @@ def main() -> None:
         f.write(
             "# Scaling evidence — same ER job at N and 4N parallelism\n\n"
             "The north rule's two-cluster-size criterion cannot use a real cluster in this\n"
-            f"sandbox; per the driver's instruction it is evidenced by running the SAME job\n"
+            "sandbox; per the driver's instruction it is evidenced by running the SAME job\n"
             f"(identical deterministic input, seed 42) at `local[{lo}]` (N) and `local[{hi}]`\n"
             "(4N) and comparing candidate-pairs-scored/sec. The timed region is `resolve()`\n"
             "proper (blocking → pair gen → scoring → clustering); the noised input is\n"
-            "materialized before the clock starts.\n\n"
-            "**External-load gating.** The host is shared: noisy neighbors burn 5-6 cores\n"
-            "with zero local processes running, inflating a leg 2-3x. Each leg waits for\n"
-            f"1-min loadavg < {QUIET_LOAD} before launching, legs alternate N/4N, and the\n"
-            f"per-level wall is the min over {repeats} repeat(s); the external loadavg at\n"
-            "each leg's start/end is recorded below.\n\n"
-            "**Machine calibration.** This sandbox VM does not scale linearly in thread\n"
-            "count even for pure-JVM compute: a sha2-sum Spark job measures 3.30x from\n"
-            "local[2]→local[8] (0.825 ceiling) and only 2.39x from local[8]→local[32]\n"
-            "(0.60 ceiling) — the CPUs are shared/throttled above ~8-16 active threads.\n"
-            "The N→4N pair below is therefore local[2]→local[8], where the hardware\n"
-            "ceiling itself is ~0.83; efficiency relative to that ceiling is also shown.\n\n"
-            f"Input: {n:,} simulants → {results[hi]['n_records']:,} records; "
-            f"{results[hi]['n_pairs']:,} candidate pairs; {results[hi]['n_clusters']:,} clusters.\n\n"
-            "| parallelism | resolve wall (s) | pairs/sec |\n|---|---|---|\n"
-            f"| local[{lo}] (N) | {t8} | {results[lo]['pairs_per_sec']:,} |\n"
-            f"| local[{hi}] (4N) | {t32} | {results[hi]['pairs_per_sec']:,} |\n\n"
-            f"**Scaling efficiency (N→4N): {eff:.3f}** (target ≥ 0.8; hardware ceiling 0.825)\n\n"
-            f"**Efficiency relative to the machine's pure-compute ceiling: {eff / 0.825:.3f}**\n\n"
-            f"Per-stage seconds at local[{lo}]: `{results[lo]['stage_seconds']}`\n\n"
-            f"Per-stage seconds at local[{hi}]: `{results[hi]['stage_seconds']}`\n\n"
-            f"External loadavg (start → end): local[{lo}] "
-            f"{results[lo]['external_load_start']} → {results[lo]['external_load_end']}; "
-            f"local[{hi}] {results[hi]['external_load_start']} → {results[hi]['external_load_end']}. "
-            f"All legs: `{[(r['cores'], r['resolve_sec'], r['external_load_start']) for r in all_runs]}`\n\n"
+            "materialized to parquet before any leg (bit-identical at every parallelism —\n"
+            "CRN randomness is keyed on record ids) and each leg reads it back.\n\n"
+            "**Core pinning.** Each leg's whole process tree (JVM executor threads + Arrow\n"
+            "Python UDF workers + GC) is pinned with `taskset -c` to exactly its core\n"
+            "budget. Without pinning, a `local[2]` leg consumes up to ~4.5 cores (executor\n"
+            "threads overlapped with Python workers), under-charging the N leg and\n"
+            "deflating the ratio; pinning emulates a real cluster's per-executor core\n"
+            "limit, which is what the rule's two-cluster-size criterion models.\n\n"
+            "**External-load control.** The host is shared: noisy neighbors burn 5-12 cores\n"
+            "with zero local processes running, inflating a leg 2-4x. Each leg (a) waits for\n"
+            f"1-min loadavg < {QUIET_LOAD} before launching, (b) samples /proc/loadavg every 5 s\n"
+            "while running and measures its OWN process-tree CPU (utime+stime)/wall — a leg\n"
+            "whose external load (median loadavg minus own measured usage) exceeds 40% of\n"
+            "the UNPINNED core pool is marked polluted and retried (levels alternate;\n"
+            "external tasks land on idle cores first, so load below that threshold does\n"
+            "not contend with the pinned leg) — and (c) the per-level wall is the min\n"
+            "across clean legs, estimating the uncontended wall.\n\n"
+            "**Machine calibration.** This sandbox VM does not scale linearly in core\n"
+            "count even for pure-JVM, shuffle-free compute: a pinned sha2-sum Spark job\n"
+            f"(tools/calibrate_ceiling.py, same taskset methodology) measures a ceiling of\n"
+            f"{ceiling} from local[{lo}]→local[{hi}]; unpinned local[8]→local[32] measured only\n"
+            "2.39x/4 (0.60) — the CPUs are shared/throttled above ~8-16 active threads.\n"
+            f"The N→4N pair below is local[{lo}]→local[{hi}]; efficiency relative to the\n"
+            "measured ceiling is also shown.\n\n"
+            f"Input: {n:,} simulants → {b_hi['n_records']:,} records; "
+            f"{b_hi['n_pairs']:,} candidate pairs; {b_hi['n_clusters']:,} clusters.\n\n"
+            "| parallelism | resolve wall (s) | pairs/sec | scoring-stage pairs/sec | ext. load (median) | clean legs |\n"
+            "|---|---|---|---|---|---|\n"
+            f"| local[{lo}] (N) | {b_lo['resolve_sec']} | {b_lo['pairs_per_sec']:,} | "
+            f"{b_lo['scoring_pairs_per_sec']:,} | {b_lo['external_load_est']} | {len(accepted[lo])} |\n"
+            f"| local[{hi}] (4N) | {b_hi['resolve_sec']} | {b_hi['pairs_per_sec']:,} | "
+            f"{b_hi['scoring_pairs_per_sec']:,} | {b_hi['external_load_est']} | {len(accepted[hi])} |\n\n"
+            f"**End-to-end scaling efficiency (N→4N): {eff:.3f}** (target ≥ 0.8; hardware ceiling {ceiling})\n\n"
+            + (f"**Scoring-stage (candidate-pairs-scored/sec, the rule's metric) efficiency: "
+               f"{eff_scoring:.3f}**\n\n" if eff_scoring else "")
+            + f"**End-to-end efficiency relative to the machine's pure-compute ceiling: {eff / ceiling:.3f}**\n\n"
+            + f"Ceiling source: {ceiling_src}.\n\n"
+            f"Per-stage seconds at local[{lo}]: `{b_lo['stage_seconds']}`\n\n"
+            f"Per-stage seconds at local[{hi}]: `{b_hi['stage_seconds']}`\n\n"
+            f"All legs (wall, external load median, clean): "
+            f"`{[(r['cores'], r['resolve_sec'], r['external_load_est'], r['clean']) for r in all_runs]}`\n\n"
             "Outputs are identical at both levels (CRN randomness is keyed by record ids,\n"
             "never partition ids — see tests/test_e2e.py partition-invariance tests).\n"
         )
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
-        worker(int(sys.argv[2]), int(sys.argv[3]))
-    else:
-        main()
+    main()
