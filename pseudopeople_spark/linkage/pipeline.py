@@ -180,6 +180,41 @@ def normalize_records(
     return out.select(*cols)
 
 
+def _assign_int_ids(records: DataFrame, id_col: str = "record_id", max_tries: int = 5):
+    """Replace the string record id with a verified-unique int64
+    surrogate for the pair/scoring/clustering domain.
+
+    Why: the candidate-pair set is the pipeline's bulk data (63M
+    pre-dedup rows at the 300k-simulant bench) and every pair row
+    carries two ids through the dedup exchange and two scoring joins.
+    With string ids the dedup alone costs 157s at 8 pinned cores; with
+    int64 ids, 64s (tools/ab_pair_dedup.py) — hashing, comparison and
+    exchange bytes all shrink ~2.5x. At 10^12 records this is the
+    difference between shuffling ~32TB and ~13TB per full-width pass.
+
+    Exactness: rid = xxhash64(record_id, salt), VERIFIED unique by one
+    aggregate (count == countDistinct); on a collision the salt is
+    bumped and the check re-runs (expected retries ~0 below ~2^32 rows;
+    at larger scale widen to a (hash, hash') pair key). ``base_rid``
+    hashes the id with a ``_dup`` suffix stripped — the key the
+    same-dataset guardian-twin exemption matches on (scoring.tiered_match).
+
+    Returns (mapping, records_int): mapping (rid, record_id) for the
+    final translation back; records_int = records with ``record_id``
+    replaced by the int64 rid + a ``base_rid`` column.
+    """
+    for salt in range(max_tries):
+        rid = F.xxhash64(F.col(id_col), F.lit(salt))
+        base = F.xxhash64(F.regexp_replace(F.col(id_col), r"_dup$", ""), F.lit(salt))
+        with_rid = records.withColumn("__rid", rid).withColumn("base_rid", base)
+        n, nd = with_rid.agg(F.count("*"), F.count_distinct("__rid")).first()
+        if n == nd:
+            mapping = with_rid.select(F.col("__rid").alias("rid"), F.col(id_col))
+            recs = with_rid.drop(id_col).withColumnRenamed("__rid", id_col)
+            return mapping, recs
+    raise RuntimeError(f"no collision-free xxhash64 salt in {max_tries} tries for {id_col}")
+
+
 def candidate_blocks(records: DataFrame, cfg: ResolveConfig) -> DataFrame:
     """All blocking passes as (block_key, record_id) — one scan, one
     UDF evaluation, one stack (see blocking.all_block_keys)."""
@@ -213,10 +248,16 @@ def resolve(
         return out
 
     # Materialize the (noised) input once: every downstream stage joins
-    # against it, and the noising plan upstream is deep.
+    # against it, and the noising plan upstream is deep. String record
+    # ids are swapped for verified-unique int64 surrogates here — every
+    # downstream stage (blocking keys, pair dedup, scoring joins,
+    # clustering) runs in rid space; the tiny mapping translates the
+    # final assignments (and the truth labels) back.
     from pseudopeople_spark.checkpoint import _capped_local_checkpoint
 
     t0 = _time.time()
+    mapping, records = _assign_int_ids(records)
+    mapping = _capped_local_checkpoint(mapping)
     records = _capped_local_checkpoint(records)
     stage_seconds["normalize"] = round(_time.time() - t0, 2)
     blocks = _timed("blocking", lambda: candidate_blocks(records, cfg))
@@ -239,7 +280,7 @@ def resolve(
     cand = _timed("pairs", _pairs)
 
     def _scored() -> DataFrame:
-        with_fields = scoring.attach_pair_fields(cand, records, CANONICAL_FIELDS)
+        with_fields = scoring.attach_pair_fields(cand, records, CANONICAL_FIELDS + ["base_rid"])
         out = scoring.score_pairs(with_fields)
         # Fuse the match decision into the same pass: is_match is pure
         # JVM over the sims just computed, so deciding HERE means no
@@ -256,17 +297,39 @@ def resolve(
 
     scored = _timed("scoring", _scored)
     edges = scoring.match_edges(scored, cfg.threshold, same_dataset_distinct=cfg.unique_within_dataset)
-    assignments = _timed("clustering", lambda: cluster_records(edges, records))
+
+    def _assignments() -> DataFrame:
+        asg = cluster_records(edges, records)
+        # translate back to the caller's string ids — one broadcast-size
+        # join over the (small) assignment set, never over the pairs
+        return (
+            asg.withColumnRenamed("record_id", "rid")
+            .join(mapping, "rid")
+            .select("rid", "record_id", "cluster_id")
+        )
+
+    assignments_full = _timed("clustering", _assignments)
+    assignments = assignments_full.select("record_id", "cluster_id")
 
     out = {
-        "records": records,
+        "records": records,      # rid space (record_id is the int64 surrogate)
+        "id_mapping": mapping,   # rid -> original record_id
         "blocks": blocks,
-        "pairs": cand,
-        "scored": scored,
-        "edges": edges,
-        "assignments": assignments,
+        "pairs": cand,           # rid space
+        "scored": scored,        # rid space
+        "edges": edges,          # rid space
+        "assignments": assignments,  # original record_id space
         "stage_seconds": stage_seconds,
     }
     if truth is not None:
-        out["metrics"] = pairwise_f1_on_candidates(cand, assignments, truth)
+        truth_rid = (
+            truth.join(mapping, "record_id")
+            .select(F.col("rid").alias("record_id"), *[c for c in truth.columns if c != "record_id"])
+        )
+        out["truth_rid"] = truth_rid
+        # candidate pairs are rid-keyed, so the F1 join uses rid-space
+        # truth + rid-space cluster labels (no wide translation of the
+        # pair set)
+        asg_rid = assignments_full.select(F.col("rid").alias("record_id"), "cluster_id")
+        out["metrics"] = pairwise_f1_on_candidates(cand, asg_rid, truth_rid)
     return out

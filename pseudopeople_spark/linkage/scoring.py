@@ -325,9 +325,15 @@ def tiered_match(
         # (one bad edge turns every cross-pair of two clusters into an
         # FP), and same-household same-name kin are exactly the pairs
         # this hard constraint removes.
-        dup_twin = (F.col("id_r") == F.concat(F.col("id_l"), F.lit("_dup"))) | (
-            F.col("id_l") == F.concat(F.col("id_r"), F.lit("_dup"))
-        )
+        if "l_base_rid" in scored.columns:
+            # int64-id pipeline: the guardian-duplication twin shares its
+            # original's base_rid (the id hashed with "_dup" stripped —
+            # pipeline._assign_int_ids)
+            dup_twin = F.col("l_base_rid") == F.col("r_base_rid")
+        else:
+            dup_twin = (F.col("id_r") == F.concat(F.col("id_l"), F.lit("_dup"))) | (
+                F.col("id_l") == F.concat(F.col("id_r"), F.lit("_dup"))
+            )
         same_dataset = F.col("l_dataset") == F.col("r_dataset")
         if "l_period" in scored.columns:
             # the uniqueness unit is the dataset-PERIOD (normalize_records

@@ -69,7 +69,8 @@ def test_pairwise_f1_at_least_099(resolved):
 
 
 def test_blocking_recall_high(resolved):
-    br = blocking_recall(resolved["pairs"], resolved["truth"])
+    # pairs are rid-keyed (int64 surrogate ids); use the rid-space truth
+    br = blocking_recall(resolved["pairs"], resolved["truth_rid"])
     assert br["recall"] >= 0.95, br
 
 
