@@ -275,7 +275,15 @@ def resolve(
         # id_l), so the dropDuplicates adds no second exchange AND the
         # scoring join on id_l reuses the same partitioning — net one
         # full-width shuffle of the candidate set instead of three.
-        return p.repartition("id_l").dropDuplicates(["id_l", "id_r"])
+        # The partition count is EXPLICIT: with 16-byte int64 pairs the
+        # exchange falls under AQE's 64MB advisory size and would
+        # coalesce to a handful of partitions — which then starves the
+        # scoring stage that reuses this partitioning (measured: 8-core
+        # leg ran scoring on ~4 tasks, 769s vs 443s). An explicit N is
+        # exempt from AQE coalescing and keeps the downstream Arrow UDF
+        # stage at full width.
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        return p.repartition(n_shuffle, "id_l").dropDuplicates(["id_l", "id_r"])
 
     cand = _timed("pairs", _pairs)
 

@@ -133,7 +133,16 @@ def worker(cores: int, n: int) -> None:
 
     # shuffle partitions sized 4x cores at BOTH levels so partition
     # sizing (spill behavior) is comparable and AQE coalesces identically
-    spark = get_spark(f"scaling_{cores}", master=f"local[{cores}]", shuffle_partitions=4 * cores)
+    spark = get_spark(
+        f"scaling_{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=4 * cores,
+        extra_conf={
+            # a crashed Arrow worker otherwise reports no Python frame
+            "spark.python.worker.faulthandler.enabled": "true",
+            "spark.sql.execution.pyspark.udf.faulthandler.enabled": "true",
+        },
+    )
     records = spark.read.parquet(_input_path(n)).localCheckpoint()
     n_records = records.count()
 
@@ -291,9 +300,11 @@ def main() -> None:
             "**Core pinning.** Each leg's whole process tree (JVM executor threads + Arrow\n"
             "Python UDF workers + GC) is pinned with `taskset -c` to exactly its core\n"
             "budget. Without pinning, a `local[2]` leg consumes up to ~4.5 cores (executor\n"
-            "threads overlapped with Python workers), under-charging the N leg and\n"
-            "deflating the ratio; pinning emulates a real cluster's per-executor core\n"
-            "limit, which is what the rule's two-cluster-size criterion models.\n\n"
+            "threads overlapped with Python workers, GC, shuffle I/O threads), so the\n"
+            "measured \"N vs 4N\" ratio compares ~4.5 vs ~16 effective cores — not the\n"
+            "rule's 4x. Pinning emulates a real cluster's per-executor core limit, which\n"
+            "is what the two-cluster-size criterion models; it is the stricter, honest\n"
+            "methodology (round 1 reported unpinned numbers).\n\n"
             "**External-load control.** The host is shared: noisy neighbors burn 5-12 cores\n"
             "with zero local processes running, inflating a leg 2-4x. Each leg (a) waits for\n"
             f"1-min loadavg < {QUIET_LOAD} before launching, (b) samples /proc/loadavg every 5 s\n"
