@@ -141,6 +141,14 @@ def worker(cores: int, n: int) -> None:
             # a crashed Arrow worker otherwise reports no Python frame
             "spark.python.worker.faulthandler.enabled": "true",
             "spark.sql.execution.pyspark.udf.faulthandler.enabled": "true",
+            # a taskset-starved local JVM can pause (GC, scheduling) past
+            # the default RPC ask timeout mid-stage; observed failure mode:
+            # heartbeat ask fails with "Cannot find endpoint:
+            # CoarseGrainedScheduler" -> executor declared lost -> python
+            # workers SIGKILLed -> "Python worker exited unexpectedly".
+            "spark.network.timeout": "600s",
+            "spark.rpc.askTimeout": "600s",
+            "spark.executor.heartbeatInterval": "60s",
         },
     )
     records = spark.read.parquet(_input_path(n)).localCheckpoint()
