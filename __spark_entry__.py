@@ -429,13 +429,15 @@ def noise_omit_row(spark, sf_dir):
 
 @_q(
     "noise_duplicate_row",
-    f"""SELECT o_orderkey, o_totalprice FROM orders
+    f"""SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey, o_totalprice FROM orders
         UNION ALL
-        SELECT o_orderkey, o_totalprice FROM orders WHERE {_u('o_orderkey', 'duplicate_row')} < 0.05""",
+        SELECT CAST(o_orderkey AS VARCHAR) || '_dup2' AS o_orderkey, o_totalprice
+        FROM orders WHERE {_u('o_orderkey', 'duplicate_row')} < 0.05""",
 )
 def noise_duplicate_row(spark, sf_dir):
     """duplicate_row (the reference's stub, noise_functions.py:145-158,
-    implemented for parity)."""
+    implemented for parity). Duplicates carry a ``_dup2``-suffixed key
+    so output record ids stay unique (row_noise.duplicate_rows)."""
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     return rn.duplicate_rows(o, "o_orderkey", p=0.05, seed=SEED, u01=portable_u01)
 

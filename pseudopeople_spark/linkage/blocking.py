@@ -79,6 +79,36 @@ def sorted_neighborhood_pairs(
     )
 
 
+def snb_partition_histogram(
+    df: DataFrame, sort_cols: "list[str]", prefix_len: int = 2
+) -> "dict":
+    """Skew evidence for the sorted-neighborhood window: sizes of the
+    2-char-prefix partitions :func:`sorted_neighborhood_pairs` windows
+    over. The Zipf head of surnames (SMITH…) makes the largest prefix
+    partition unbounded in ABSOLUTE size as data grows — this histogram
+    (max / p99 / share-of-max) belongs in every at-scale bench so the
+    cutover to a longer prefix (26x more partitions per extra char, the
+    same standard boundary-loss) is data-driven, not guessed."""
+    key = F.concat_ws("\x01", *[F.coalesce(F.col(c), F.lit("")) for c in sort_cols])
+    sizes = (
+        df.select(F.substring(key, 1, prefix_len).alias("_p"))
+        .groupBy("_p").agg(F.count("*").alias("n"))
+    )
+    row = sizes.agg(
+        F.count("*").alias("n_partitions"),
+        F.sum("n").alias("rows"),
+        F.max("n").alias("max"),
+        F.expr("percentile_approx(n, 0.99)").alias("p99"),
+    ).first()
+    return {
+        "n_partitions": int(row["n_partitions"]),
+        "rows": int(row["rows"]),
+        "max": int(row["max"]),
+        "p99": int(row["p99"]),
+        "max_share": round(row["max"] / row["rows"], 5) if row["rows"] else 0.0,
+    }
+
+
 def minhash_blocks(
     df: DataFrame,
     text_expr: Column,

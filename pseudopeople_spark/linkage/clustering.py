@@ -207,14 +207,33 @@ def cluster_records(
     construction — dataset-prefixed, guardian twins suffixed ``_dup``)
     skips a full shuffle of the record set that a defensive
     ``distinct`` would cost; pass False for inputs that may repeat
-    ids."""
+    ids.
+
+    When the id column AND both edge endpoints are already int64 (the
+    rid pipeline, where _assign_int_ids VERIFIED uniqueness on the
+    materialized data) they are used as graph node ids directly —
+    re-hashing a verified-unique surrogate with a second xxhash64 would
+    put the clustering domain on an UNverified hash (a collision there
+    silently merges two records) and pay a wasted pass over the record
+    set. String-id callers keep the xxhash64 node mapping (collision
+    odds ~n²/2⁶⁴, documented above)."""
     ids = all_records.select(F.col(id_col).alias("record_id"))
     if not ids_unique:
         ids = ids.distinct()
-    ids = ids.withColumn("u", F.xxhash64("record_id"))
-    edges = (
-        edges_by_record.select(F.xxhash64("id_l").alias("u"), F.xxhash64("id_r").alias("v"))
+    edge_types = dict(edges_by_record.dtypes)
+    all_long = (
+        dict(all_records.dtypes).get(id_col) == "bigint"
+        and edge_types.get("id_l") == "bigint"
+        and edge_types.get("id_r") == "bigint"
     )
+    if all_long:
+        ids = ids.withColumn("u", F.col("record_id"))
+        edges = edges_by_record.select(F.col("id_l").alias("u"), F.col("id_r").alias("v"))
+    else:
+        ids = ids.withColumn("u", F.xxhash64("record_id"))
+        edges = edges_by_record.select(
+            F.xxhash64("id_l").alias("u"), F.xxhash64("id_r").alias("v")
+        )
     comp = connected_components(edges)
     return (
         ids.join(comp, "u", "left")

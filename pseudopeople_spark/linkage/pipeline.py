@@ -192,26 +192,48 @@ def _assign_int_ids(records: DataFrame, id_col: str = "record_id", max_tries: in
     exchange bytes all shrink ~2.5x. At 10^12 records this is the
     difference between shuffling ~32TB and ~13TB per full-width pass.
 
-    Exactness: rid = xxhash64(record_id, salt), VERIFIED unique by one
-    aggregate (count == countDistinct); on a collision the salt is
-    bumped and the check re-runs (expected retries ~0 below ~2^32 rows;
-    at larger scale widen to a (hash, hash') pair key). ``base_rid``
-    hashes the id with a ``_dup`` suffix stripped — the key the
-    same-dataset guardian-twin exemption matches on (scoring.tiered_match).
+    Exactness: the frame-with-rids is localCheckpointed FIRST and the
+    verification aggregate runs on the MATERIALIZED data, so the
+    uniqueness guarantee binds to the exact bytes every downstream
+    stage reads — a non-deterministic upstream plan (sample / unseeded
+    rand) cannot pass the check on one evaluation and collide on
+    another. The upstream plan is evaluated exactly ONCE (the old shape
+    paid an aggregate plus two independent checkpoints = 3 evals).
+    rid = xxhash64(record_id, salt), verified count == countDistinct;
+    ``base_rid`` hashes the id with a ``_dup`` suffix stripped (the key
+    the same-dataset guardian-twin exemption matches on,
+    scoring.tiered_match) and is verified 1:1 against the stripped
+    string key in the SAME aggregate, so a base_rid collision can never
+    silently exempt an unrelated same-dataset pair. On any collision
+    the salt is bumped and the whole check re-runs (expected retries ~0
+    below ~2^32 rows; at larger scale widen to a (hash, hash') pair).
 
-    Returns (mapping, records_int): mapping (rid, record_id) for the
-    final translation back; records_int = records with ``record_id``
-    replaced by the int64 rid + a ``base_rid`` column.
+    Returns (mapping, records_int, n_records): mapping (rid, record_id)
+    for the final translation back; records_int = records with
+    ``record_id`` replaced by the int64 rid + a ``base_rid`` column —
+    both cheap projections of ONE materialized frame; n_records, free
+    from the verification pass, for data-driven partition sizing.
     """
+    from pseudopeople_spark.checkpoint import _capped_local_checkpoint
+
+    stripped = F.regexp_replace(F.col(id_col), r"_dup$", "")
     for salt in range(max_tries):
         rid = F.xxhash64(F.col(id_col), F.lit(salt))
-        base = F.xxhash64(F.regexp_replace(F.col(id_col), r"_dup$", ""), F.lit(salt))
-        with_rid = records.withColumn("__rid", rid).withColumn("base_rid", base)
-        n, nd = with_rid.agg(F.count("*"), F.count_distinct("__rid")).first()
-        if n == nd:
+        base = F.xxhash64(stripped, F.lit(salt))
+        with_rid = _capped_local_checkpoint(
+            records.withColumn("__rid", rid).withColumn("base_rid", base)
+        )
+        n, nd, nb, nbk = with_rid.agg(
+            F.count("*"),
+            F.count_distinct("__rid"),
+            F.count_distinct("base_rid"),
+            F.count_distinct(stripped),
+        ).first()
+        if n == nd and nb == nbk:
             mapping = with_rid.select(F.col("__rid").alias("rid"), F.col(id_col))
             recs = with_rid.drop(id_col).withColumnRenamed("__rid", id_col)
-            return mapping, recs
+            return mapping, recs, int(n)
+        with_rid.unpersist()
     raise RuntimeError(f"no collision-free xxhash64 salt in {max_tries} tries for {id_col}")
 
 
@@ -252,15 +274,41 @@ def resolve(
     # ids are swapped for verified-unique int64 surrogates here — every
     # downstream stage (blocking keys, pair dedup, scoring joins,
     # clustering) runs in rid space; the tiny mapping translates the
-    # final assignments (and the truth labels) back.
-    from pseudopeople_spark.checkpoint import _capped_local_checkpoint
-
+    # final assignments (and the truth labels) back. _assign_int_ids
+    # checkpoints ONE frame and hands back mapping/records as
+    # projections of it — one upstream evaluation total.
     t0 = _time.time()
-    mapping, records = _assign_int_ids(records)
-    mapping = _capped_local_checkpoint(mapping)
-    records = _capped_local_checkpoint(records)
+    mapping, records, n_records = _assign_int_ids(records)
     stage_seconds["normalize"] = round(_time.time() - t0, 2)
     blocks = _timed("blocking", lambda: candidate_blocks(records, cfg))
+
+    def _pair_partitions() -> int:
+        """Size the candidate-pair exchange from the DATA, not the
+        static shuffle conf: an exact upper bound on the pair count is
+        one cheap aggregate over the (already materialized) block set —
+        capped blocks contribute c(c-1)/2 pairs, oversized blocks a
+        linear c·w sweep (pairs.pairs_from_blocks), sorted-neighborhood
+        ≤ n_records·window. Target ~250k pair rows (~4 MB of int64
+        pairs) per partition; clamp to [defaultParallelism, shuffle
+        width] so a small input still uses every core and a huge one
+        never exceeds the operator-configured exchange width. A static
+        conf value here is right at one scale only — wasteful at 20k
+        rows, undersized at 10^12."""
+        w = 5  # pairs_from_blocks neighborhood_window default
+        cap = cfg.max_block_size
+        per_block = F.when(
+            F.col("c") <= cap, F.col("c") * (F.col("c") - 1) / 2
+        ).otherwise(F.col("c") * w)
+        ub_row = (
+            blocks.groupBy("block_key").agg(F.count("*").alias("c"))
+            .agg(F.sum(per_block).alias("ub")).first()
+        )
+        ub = int(ub_row["ub"] or 0)
+        if cfg.use_sorted_neighborhood:
+            ub += n_records * cfg.snb_window
+        par = spark.sparkContext.defaultParallelism
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        return max(par, min(-(-ub // 250_000), max(n_shuffle, par)))
 
     def _pairs() -> DataFrame:
         p = pairgen.pairs_from_blocks(blocks, max_block_size=cfg.max_block_size, dedup=False)
@@ -281,9 +329,9 @@ def resolve(
         # scoring stage that reuses this partitioning (measured: 8-core
         # leg ran scoring on ~4 tasks, 769s vs 443s). An explicit N is
         # exempt from AQE coalescing and keeps the downstream Arrow UDF
-        # stage at full width.
-        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        return p.repartition(n_shuffle, "id_l").dropDuplicates(["id_l", "id_r"])
+        # stage at full width; the N itself is sized from the block-set
+        # pair upper bound (_pair_partitions), not the static conf.
+        return p.repartition(_pair_partitions(), "id_l").dropDuplicates(["id_l", "id_r"])
 
     cand = _timed("pairs", _pairs)
 

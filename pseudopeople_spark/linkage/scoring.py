@@ -327,8 +327,11 @@ def tiered_match(
         # this hard constraint removes.
         if "l_base_rid" in scored.columns:
             # int64-id pipeline: the guardian-duplication twin shares its
-            # original's base_rid (the id hashed with "_dup" stripped —
-            # pipeline._assign_int_ids)
+            # original's base_rid (the id hashed with "_dup" stripped).
+            # base_rid is VERIFIED 1:1 against the stripped string key in
+            # _assign_int_ids' materialized-frame aggregate, so equality
+            # here is exactly the string test below — a hash collision
+            # cannot falsely exempt an unrelated same-dataset pair.
             dup_twin = F.col("l_base_rid") == F.col("r_base_rid")
         else:
             dup_twin = (F.col("id_r") == F.concat(F.col("id_l"), F.lit("_dup"))) | (

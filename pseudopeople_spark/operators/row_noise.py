@@ -104,9 +104,17 @@ def duplicate_rows(
 ) -> DataFrame:
     """Uniform row duplication — the reference's commented-out stub
     (noise_functions.py:145-158, 'todo actually duplicate rows'),
-    implemented for parity behind this explicit call."""
-    dupes = df.where(u01(F.col(key_col), seed, "duplicate_row") < p)
-    return df.unionByName(dupes)
+    implemented for parity behind this explicit call.
+
+    The duplicate's key gets a ``_dup2`` suffix (mirroring
+    duplicate_with_guardian's ``_dup``): emitting two rows under ONE
+    record_id would silently break every downstream key consumer — CRN
+    draws would noise the twins identically, key joins would fan out,
+    and cluster_records(ids_unique=True) assumes unique ids."""
+    base = df.withColumn(key_col, F.col(key_col).cast("string"))  # deterministic output type
+    dupes = base.where(u01(F.col(key_col), seed, "duplicate_row") < p)
+    dupes = dupes.withColumn(key_col, F.concat(F.col(key_col), F.lit("_dup2")))
+    return base.unionByName(dupes)
 
 
 # Reference constants/noise_type_metadata.py:4-14 — the columns a

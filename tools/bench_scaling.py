@@ -153,6 +153,11 @@ def worker(cores: int, n: int) -> None:
     )
     records = spark.read.parquet(_input_path(n)).localCheckpoint()
     n_records = records.count()
+    # SNB window-skew evidence (off the clock): sizes of the 2-char
+    # prefix partitions the sorted-neighborhood window runs over
+    from pseudopeople_spark.linkage.blocking import snb_partition_histogram
+
+    snb_hist = snb_partition_histogram(records, ["last_name", "first_name", "dob"])
 
     samples: "list[float]" = []
     stop = threading.Event()
@@ -187,6 +192,7 @@ def worker(cores: int, n: int) -> None:
         "scoring_sec": stage.get("scoring"),
         "scoring_pairs_per_sec": round(n_pairs / stage["scoring"], 1) if stage.get("scoring") else None,
         "stage_seconds": stage,
+        "snb_partition_hist": snb_hist,
         "load_median": round(med, 2),
         "own_cores_avg": round(own_cores, 2),
         # loadavg minus the leg's MEASURED own core usage (process-tree
@@ -266,6 +272,19 @@ def main() -> None:
         return min(pool, key=lambda r: r["resolve_sec"])
 
     b_lo, b_hi = _best(lo), _best(hi)
+    # Disclose when a level's best wall came from a POLLUTED leg (no
+    # clean leg survived the attempt budget): the wall is then an upper
+    # bound, so efficiency is a LOWER bound when the polluted level is
+    # `hi` and an UPPER bound when it is `lo`. Readers must not have to
+    # cross-check the clean-legs column to notice.
+    caveats = []
+    for cores, best in ((lo, b_lo), (hi, b_hi)):
+        if not accepted[cores]:
+            bound = "lower" if cores == hi else "upper"
+            caveats.append(
+                f"no clean local[{cores}] leg — its wall is inflated by external load "
+                f"(ext≈{best['external_load_est']} cores), so the reported efficiency is a {bound} bound"
+            )
     ratio = hi / lo
     eff = b_lo["resolve_sec"] / (ratio * b_hi["resolve_sec"])
     # pure-compute ceiling measured under the SAME pinned methodology
@@ -290,6 +309,7 @@ def main() -> None:
         "speedup": round(b_lo["resolve_sec"] / b_hi["resolve_sec"], 2),
         "n_simulants": n,
         "clean_legs": {str(c): len(accepted[c]) for c in (lo, hi)},
+        "caveats": caveats,
         "runs": {str(lo): b_lo, str(hi): b_hi},
         "all_runs": all_runs,
     }
@@ -337,11 +357,16 @@ def main() -> None:
             f"{b_lo['scoring_pairs_per_sec']:,} | {b_lo['external_load_est']} | {len(accepted[lo])} |\n"
             f"| local[{hi}] (4N) | {b_hi['resolve_sec']} | {b_hi['pairs_per_sec']:,} | "
             f"{b_hi['scoring_pairs_per_sec']:,} | {b_hi['external_load_est']} | {len(accepted[hi])} |\n\n"
-            f"**End-to-end scaling efficiency (N→4N): {eff:.3f}** (target ≥ 0.8; hardware ceiling {ceiling})\n\n"
+            + "".join(f"**CAVEAT: {c}.**\n\n" for c in caveats)
+            + f"**End-to-end scaling efficiency (N→4N): {eff:.3f}** (target ≥ 0.8; hardware ceiling {ceiling})\n\n"
             + (f"**Scoring-stage (candidate-pairs-scored/sec, the rule's metric) efficiency: "
                f"{eff_scoring:.3f}**\n\n" if eff_scoring else "")
             + f"**End-to-end efficiency relative to the machine's pure-compute ceiling: {eff / ceiling:.3f}**\n\n"
             + f"Ceiling source: {ceiling_src}.\n\n"
+            f"Sorted-neighborhood window-partition skew (2-char sort-key prefix): "
+            f"`{b_hi.get('snb_partition_hist')}` — the max-share column is the Amdahl bound on\n"
+            f"that window stage; a longer prefix (26x more partitions per char) is the escalation\n"
+            f"path when the head partition's ABSOLUTE size outgrows a task.\n\n"
             f"Per-stage seconds at local[{lo}]: `{b_lo['stage_seconds']}`\n\n"
             f"Per-stage seconds at local[{hi}]: `{b_hi['stage_seconds']}`\n\n"
             f"All legs (wall, external load median, clean): "
