@@ -443,6 +443,342 @@ def noise_duplicate_row(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# remaining §2.B/2.C noise operators, oracled through the portable CRN.
+# Each derives its demographic/identity columns deterministically from
+# c_custkey with IDENTICAL integer/double arithmetic in both engines, so
+# the DuckDB replay is bit-exact. The 3 token kernels (phonetic / OCR /
+# typo) stay pytest-only: they are procedural per-character scans over
+# a 356-rule table — their spec lives in tests/test_kernels.py.
+# --------------------------------------------------------------------------
+
+def _copy_household_oracle() -> str:
+    u = _u("c_custkey", "copy_from_household_member_seg")
+    return f"""WITH b AS (
+          SELECT c_custkey, c_mktsegment AS seg,
+                 CASE WHEN c_custkey % 4 = 0 THEN NULL
+                      ELSE 'SEG-' || CAST(c_custkey % 7 AS VARCHAR) END AS copy_seg
+          FROM customer),
+        pr AS (
+          SELECT SUM(CASE WHEN seg IS NOT NULL AND seg != '' AND copy_seg IS NOT NULL
+                          THEN 1.0 ELSE 0.0 END)
+               / SUM(CASE WHEN seg IS NOT NULL AND seg != '' THEN 1.0 ELSE 0.0 END) AS prop
+          FROM b)
+        SELECT c_custkey,
+               CASE WHEN seg IS NOT NULL AND seg != '' AND copy_seg IS NOT NULL
+                         AND {u} < least(1.0, 0.5 / pr.prop)
+                    THEN copy_seg ELSE seg END AS seg,
+               copy_seg
+        FROM b, pr"""
+
+
+@_q("noise_copy_household", _copy_household_oracle())
+def noise_copy_household(spark, sf_dir):
+    """copy_from_household_member with the 1/proportion-eligible scaling
+    (reference noise_functions.py:344-362, noise_scaling.py:37-45): the
+    shadow copy column is synthesized with 25% missingness, the
+    eligibility proportion is ONE aggregate crossJoined back (the same
+    shape noise.noise_dataset uses), and the oracle replays the exact
+    double arithmetic via a scalar subquery."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", F.col("c_mktsegment").alias("seg"))
+    k = F.col("c_custkey")
+    copy = F.when(k % 4 == 0, F.lit(None).cast("string")).otherwise(
+        F.concat(F.lit("SEG-"), (k % 7).cast("string"))
+    )
+    df = c.withColumn("copy_seg", copy)
+    notna = F.col("seg").isNotNull() & (F.col("seg") != "")
+    eligible = notna & F.col("copy_seg").isNotNull()
+    prop = df.agg(cn.eligibility_proportion_expr(eligible, notna, "__prop_seg"))
+    out = cn.copy_from_household_member(
+        df.crossJoin(F.broadcast(prop)), "seg", "c_custkey", "copy_seg",
+        p=0.5, seed=SEED, u01=portable_u01, proportion_col="__prop_seg",
+    )
+    return out.select("c_custkey", "seg", "copy_seg")
+
+
+def _fake_name_oracle() -> str:
+    from pseudopeople_spark.operators.assets import FAKE_FIRST_NAMES
+
+    n = len(FAKE_FIRST_NAMES)
+    sel = _u("c_custkey", "use_fake_name_c_name")
+    pick = _u("c_custkey", "use_fake_name_pick_c_name")
+    idx = f"CAST(floor({pick} * {n}) AS INT)"
+    whens = " ".join(f"WHEN {i} THEN '{nm}'" for i, nm in enumerate(FAKE_FIRST_NAMES))
+    return f"""SELECT c_custkey,
+               CASE WHEN c_name IS NOT NULL AND c_name != '' AND {sel} < 0.25
+                    THEN (CASE {idx} {whens} ELSE '{FAKE_FIRST_NAMES[-1]}' END)
+                    ELSE c_name END AS c_name
+        FROM customer"""
+
+
+@_q("noise_fake_name", _fake_name_oracle())
+def noise_fake_name(spark, sf_dir):
+    """use_fake_name over the full 90-entry NORC list (reference
+    noise_functions.py:585-626; data/fake_names.py) — the CASE-chain
+    pick replayed verbatim by the oracle."""
+    from pseudopeople_spark.operators.assets import FAKE_FIRST_NAMES
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return cn.use_fake_name(
+        c, "c_name", "c_custkey", list(FAKE_FIRST_NAMES), p=0.25, seed=SEED, u01=portable_u01
+    )
+
+
+# 7 names in the reference nickname table (varied nickname-set sizes)
+# plus one name with NO nicknames — the never-noised branch.
+_NICK_PROBE = ["Aaron", "Abigail", "Robert", "Margaret", "Elizabeth", "William", "Katherine", "Zzyzx"]
+
+
+def _nickname_oracle() -> str:
+    from pseudopeople_spark.operators.assets import NICKNAMES
+
+    sel = _u("c_custkey", "use_nickname_first_name")
+    pick = _u("c_custkey", "use_nickname_pick_first_name")
+    name_case = "CASE c_custkey % 8 " + " ".join(
+        f"WHEN {i} THEN '{nm}'" for i, nm in enumerate(_NICK_PROBE)
+    ) + " END"
+    branches = []
+    for i, nm in enumerate(_NICK_PROBE):
+        nicks = NICKNAMES.get(nm)
+        if not nicks:
+            continue
+        arr = "[" + ", ".join(f"'{x}'" for x in nicks) + "]"
+        branches.append(
+            f"WHEN c_custkey % 8 = {i} AND {sel} < 0.4 "
+            f"THEN list_extract({arr}, CAST(floor({pick} * {len(nicks)}) AS INT) + 1)"
+        )
+    return f"""WITH b AS (SELECT c_custkey, {name_case} AS first_name FROM customer)
+        SELECT c_custkey, CASE {' '.join(branches)} ELSE first_name END AS first_name
+        FROM b"""
+
+
+@_q("noise_use_nickname", _nickname_oracle())
+def noise_use_nickname(spark, sf_dir):
+    """use_nickname over the FULL 1,080-name reference table via
+    broadcast join + element_at 2-D choice (reference
+    noise_functions.py:555-582, utilities.py:129-171). The probe column
+    cycles 7 table names + 1 non-name (never noised); the oracle inlines
+    exactly those 8 rows of the joined table."""
+    from pseudopeople_spark.operators.assets import NICKNAMES
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    k = F.col("c_custkey")
+    name = None
+    for i, nm in enumerate(_NICK_PROBE):
+        name = F.when(k % 8 == i, F.lit(nm)) if name is None else name.when(k % 8 == i, F.lit(nm))
+    df = c.withColumn("first_name", name)
+    out = cn.use_nickname(
+        df, "first_name", "c_custkey", {k_: list(v) for k_, v in NICKNAMES.items()},
+        p=0.4, seed=SEED, u01=portable_u01,
+    )
+    return out.select("c_custkey", "first_name")
+
+
+def _dnr_oracle() -> str:
+    races = list(rn.DNR_RACE_ADJ)
+    race_case = "CASE c_custkey % 7 " + " ".join(
+        f"WHEN {i} THEN '{r}'" for i, r in enumerate(races)
+    ) + " END"
+    race_adj = "CASE " + " ".join(
+        f"WHEN race_ethnicity = '{r}' THEN {adj!r}" for r, adj in rn.DNR_RACE_ADJ.items()
+    ) + " ELSE 0.0 END"
+    sexage_adj = "CASE " + " ".join(
+        f"WHEN sex = '{s}' AND age >= {lo} AND age < {hi} THEN {adj!r}"
+        for s, lo, hi, adj in rn.DNR_SEX_AGE_ADJ
+    ) + " ELSE 0.0 END"
+    p0 = f"least(greatest({rn.DNR_BASE!r} + {race_adj} + {sexage_adj}, 0.0), 1.0)"
+    p1 = f"(({p0} + {rn.CPS_NONRESPONSE_ADDITIVE!r}) * 1.0)"
+    p = f"least(0.5 + {p1} / 2, 1.0)"
+    u = _u("c_custkey", "do_not_respond")
+    return f"""WITH b AS (
+          SELECT c_custkey,
+                 CASE WHEN c_custkey % 2 = 0 THEN 'Female' ELSE 'Male' END AS sex,
+                 c_custkey % 95 AS age,
+                 {race_case} AS race_ethnicity
+          FROM customer)
+        SELECT * FROM b WHERE {u} >= {p}"""
+
+
+@_q("noise_do_not_respond", _dnr_oracle())
+def noise_do_not_respond(spark, sf_dir):
+    """do_not_respond full demographic model (reference
+    noise_functions.py:99-142; published additives
+    constants/data_values.py:8-45) in CPS mode: base + race additive +
+    sex×age-bin additive, clip, +0.276, level scaling, 0.5+p/2
+    oversample — every double op replayed in the same order by the
+    oracle."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    k = F.col("c_custkey")
+    races = list(rn.DNR_RACE_ADJ)
+    race = None
+    for i, r in enumerate(races):
+        race = F.when(k % 7 == i, F.lit(r)) if race is None else race.when(k % 7 == i, F.lit(r))
+    df = (
+        c.withColumn("sex", F.when(k % 2 == 0, F.lit("Female")).otherwise(F.lit("Male")))
+        .withColumn("age", k % 95)
+        .withColumn("race_ethnicity", race)
+    )
+    lvl = rn.DNR_DEFAULT_LEVELS["current_population_survey"]
+    return rn.do_not_respond(
+        df, "c_custkey", configured_level=lvl, default_level=lvl, seed=SEED,
+        oversample_adjust=True, cps_additive=rn.CPS_NONRESPONSE_ADDITIVE, u01=portable_u01,
+    )
+
+
+def _wwd_oracle() -> str:
+    tp = min(1.0, 0.3 / 0.9)
+    cell = _u("c_custkey", "write_wrong_digits_ssn")
+    parts = []
+    for i in range(16):
+        s = _u("c_custkey", f"wwd_ssn_{i}")
+        d = _u("c_custkey", f"wwd_digit_ssn_{i}")
+        ch = f"substr(ssn, {i + 1}, 1)"
+        parts.append(
+            f"(CASE WHEN {ch} >= '0' AND {ch} <= '9' AND {s} < {tp!r} "
+            f"THEN CAST(CAST(floor({d} * 10) AS BIGINT) AS VARCHAR) ELSE {ch} END)"
+        )
+    noised = " || ".join(parts) + " || substr(ssn, 17)"
+    return f"""WITH b AS (
+          SELECT c_custkey,
+                 lpad(CAST((c_custkey * 7919) % 1000 AS VARCHAR), 3, '0') || '-' ||
+                 lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') || '-' ||
+                 lpad(CAST((c_custkey * 31) % 10000 AS VARCHAR), 4, '0') AS ssn
+          FROM customer)
+        SELECT c_custkey,
+               CASE WHEN ssn IS NOT NULL AND ssn != '' AND {cell} < 0.4
+                    THEN {noised} ELSE ssn END AS ssn
+        FROM b"""
+
+
+@_q("noise_wrong_digits", _wwd_oracle())
+def noise_wrong_digits(spark, sf_dir):
+    """write_wrong_digits per-position digit replacement with 1/0.9
+    self-collision scaling, non-digits pass through (reference
+    noise_functions.py:497-552) over a synthesized xxx-xx-xxxx SSN —
+    the unrolled 16-position chain replayed position-by-position."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    k = F.col("c_custkey")
+    ssn = F.concat(
+        F.lpad(((k * 7919) % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((k % 100).cast("string"), 2, "0"), F.lit("-"),
+        F.lpad(((k * 31) % 10000).cast("string"), 4, "0"),
+    )
+    df = c.withColumn("ssn", ssn)
+    return cn.write_wrong_digits(
+        df, "ssn", "c_custkey", p=0.4, token_probability=0.3, seed=SEED, u01=portable_u01
+    )
+
+
+_DWG_HOUSING = ["Household", "College", "Carceral", "Nursing home", "Military", "Household"]
+
+
+def _dwg_base_sql() -> str:
+    housing_case = "CASE c_custkey % 6 " + " ".join(
+        f"WHEN {i} THEN '{h}'" for i, h in enumerate(_DWG_HOUSING)
+    ) + " END"
+    return f"""SELECT CAST(c_custkey AS VARCHAR) AS rid,
+              c_custkey AS simulant_id,
+              CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE (c_custkey // 10) * 10 + 1 END AS guardian_1,
+              CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE (c_custkey // 10) * 10 + 2 END AS guardian_2,
+              c_custkey % 30 AS age,
+              {housing_case} AS housing_type,
+              'Biological child' AS relationship_to_reference_person,
+              CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_custkey % 13 END AS household_id,
+              CAST(2020 AS BIGINT) AS year,
+              CAST(c_custkey % 100 AS VARCHAR) AS street_number,
+              'CITY-' || CAST(c_custkey % 5 AS VARCHAR) AS city,
+              lpad(CAST((c_custkey * 7919) % 100000 AS VARCHAR), 5, '0') AS zipcode
+       FROM customer"""
+
+
+def _dwg_oracle() -> str:
+    key = "CAST(d.rid AS BIGINT)"
+    u_choice = portable_u01_sql(key, SEED, "dwg_guardian_choice")
+    u_college = portable_u01_sql(key, SEED, "duplicate_with_guardian_college")
+    u_house = portable_u01_sql(key, SEED, "duplicate_with_guardian_households")
+    in_college = "(d.age < 24 AND d.housing_type = 'College')"
+    copy_cols = ["street_number", "city", "zipcode", "housing_type", "household_id"]
+    g1 = ", ".join(f"g1.g_{c} AS g1_{c}" for c in copy_cols)
+    g2 = ", ".join(f"g2.g_{c} AS g2_{c}" for c in copy_cols)
+    copied = {c: f"CASE WHEN copy_from = 1 THEN g1_{c} ELSE g2_{c} END" for c in copy_cols}
+    remap = f"CASE ({copied['housing_type']}) " + " ".join(
+        f"WHEN '{h}' THEN '{r}'" for h, r in rn.HOUSING_TYPE_RELATIONSHIP_MAP.items()
+    ) + " ELSE NULL END"
+    return f"""WITH b AS ({_dwg_base_sql()}),
+        g AS (SELECT simulant_id AS g_sid, year AS g_year,
+                     street_number AS g_street_number, city AS g_city, zipcode AS g_zipcode,
+                     housing_type AS g_housing_type, household_id AS g_household_id
+              FROM b),
+        m AS (SELECT d.*, {g1}, {g2},
+                     (g1.g_household_id IS NOT NULL
+                      AND d.household_id IS DISTINCT FROM g1.g_household_id) AS g1_diff,
+                     (g2.g_household_id IS NOT NULL
+                      AND d.household_id IS DISTINCT FROM g2.g_household_id) AS g2_diff,
+                     {in_college} AS in_college,
+                     {u_choice} AS u_choice, {u_college} AS u_college, {u_house} AS u_house
+              FROM (SELECT * FROM b
+                    WHERE ((age < 18 AND housing_type = 'Household')
+                           OR (age < 24 AND housing_type = 'College'))
+                          AND guardian_1 IS NOT NULL) d
+              LEFT JOIN g g1 ON d.guardian_1 = g1.g_sid AND d.year = g1.g_year
+              LEFT JOIN g g2 ON d.guardian_2 = g2.g_sid AND d.year = g2.g_year),
+        sel AS (SELECT *,
+                       CASE WHEN g1_diff AND g2_diff THEN (CASE WHEN u_choice < 0.5 THEN 1 ELSE 2 END)
+                            WHEN g1_diff THEN 1 WHEN g2_diff THEN 2 END AS copy_from
+                FROM m
+                WHERE (CASE WHEN in_college THEN u_college ELSE u_house END)
+                      < (CASE WHEN in_college THEN 0.6 ELSE 0.3 END)),
+        dup AS (SELECT rid || '_dup' AS rid, simulant_id, guardian_1, guardian_2, age,
+                       {copied['housing_type']} AS housing_type,
+                       {remap} AS relationship_to_reference_person,
+                       {copied['household_id']} AS household_id, year,
+                       {copied['street_number']} AS street_number,
+                       {copied['city']} AS city, {copied['zipcode']} AS zipcode
+                FROM sel WHERE copy_from IS NOT NULL)
+        SELECT rid, simulant_id, guardian_1, guardian_2, age, housing_type,
+               relationship_to_reference_person, household_id, year,
+               street_number, city, zipcode
+        FROM b
+        UNION ALL
+        SELECT rid, simulant_id, guardian_1, guardian_2, age, housing_type,
+               relationship_to_reference_person, household_id, year,
+               street_number, city, zipcode
+        FROM dup"""
+
+
+@_q("noise_duplicate_guardian", _dwg_oracle())
+def noise_duplicate_guardian(spark, sf_dir):
+    """duplicate_with_guardian end-to-end (reference
+    noise_functions.py:161-303; copied columns
+    constants/noise_type_metadata.py:4-14): (guardian, year) joins,
+    null-safe lives-elsewhere test, seeded 50/50 two-guardian choice,
+    per-group selection streams, housing-type→relationship remap,
+    ``_dup`` key suffix — replayed by the oracle as two left joins +
+    CASE over a synthesized guardian population."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    k = F.col("c_custkey")
+    housing = None
+    for i, h in enumerate(_DWG_HOUSING):
+        housing = F.when(k % 6 == i, F.lit(h)) if housing is None else housing.when(k % 6 == i, F.lit(h))
+    df = c.select(
+        k.cast("string").alias("rid"),
+        k.alias("simulant_id"),
+        F.when(k % 5 == 0, F.lit(None).cast("long")).otherwise((k / 10).cast("long") * 10 + 1).alias("guardian_1"),
+        F.when(k % 3 == 0, F.lit(None).cast("long")).otherwise((k / 10).cast("long") * 10 + 2).alias("guardian_2"),
+        (k % 30).alias("age"),
+        housing.alias("housing_type"),
+        F.lit("Biological child").alias("relationship_to_reference_person"),
+        F.when(k % 11 == 0, F.lit(None).cast("long")).otherwise(k % 13).alias("household_id"),
+        F.lit(2020).cast("long").alias("year"),
+        (k % 100).cast("string").alias("street_number"),
+        F.concat(F.lit("CITY-"), (k % 5).cast("string")).alias("city"),
+        F.lpad(((k * 7919) % 100000).cast("string"), 5, "0").alias("zipcode"),
+    )
+    return rn.duplicate_with_guardian(
+        df, "rid", p_under_18=0.3, p_college=0.6, seed=SEED, u01=portable_u01
+    )
+
+
+# --------------------------------------------------------------------------
 # record-linkage operators
 # --------------------------------------------------------------------------
 

@@ -235,18 +235,19 @@ def write_wrong_digits(
     not ``transform()``: higher-order functions don't participate in
     whole-stage codegen, and one non-codegen expression de-optimizes the
     entire fused projection — the unrolled chain keeps the stage inside
-    WholeStageCodegen (measured ~3x on the full noise plan)."""
+    WholeStageCodegen (measured ~3x on the full noise plan). The
+    per-position draws go through the pluggable ``u01`` with decision
+    tags ``wwd_{column}_{i}`` / ``wwd_digit_{column}_{i}`` so the
+    DuckDB oracle can replay them through the portable CRN."""
     tp = min(1.0, token_probability / 0.9)
     mask = _base_mask(df, column, key_col, p, seed, f"write_wrong_digits_{column}", u01)
-    key = F.col(key_col).cast("string")
+    key = F.col(key_col)
     c = F.col(column).cast("string")
     parts = []
     for i in range(max_len):
         ch = c.substr(i + 1, 1)
-        h = F.xxhash64(F.lit(str(seed)), F.lit(f"wwd_{column}"), key, F.lit(i))
-        u_sel = F.pmod(h, F.lit(2**40)).cast("double") / F.lit(float(2**40))
-        h2 = F.xxhash64(F.lit(str(seed)), F.lit(f"wwd_digit_{column}"), key, F.lit(i))
-        dig = F.pmod(h2, F.lit(10)).cast("string")
+        u_sel = u01(key, seed, f"wwd_{column}_{i}")
+        dig = F.floor(u01(key, seed, f"wwd_digit_{column}_{i}") * 10).cast("string")
         parts.append(F.when((ch >= "0") & (ch <= "9") & (u_sel < tp), dig).otherwise(ch))
     noised = F.concat(F.concat(*parts), F.substring(c, max_len + 1, 1_000_000))
     return _apply(df, column, mask, noised)
