@@ -168,6 +168,8 @@ def _finish(
     config: "Mapping[str, Any] | None",
     seed: int,
     state: "str | None",
+    source: "DataFrame | str | None" = None,
+    year: "int | None" = None,
 ) -> DataFrame:
     if state is not None:
         for c in ("state", "mailing_address_state"):
@@ -185,6 +187,13 @@ def _finish(
         cfg = NO_NOISE
     else:
         cfg = get_config(config)
+    # proportion guard (reference validator.py:258-339): warn when a
+    # configured level exceeds the max achievable for this slice, per
+    # the source distribution's metadata_proportions.csv
+    if isinstance(source, str) and "://" not in source:
+        from pseudopeople_spark.proportions import validate_noise_level_proportions
+
+        validate_noise_level_proportions(source, spec, cfg, state, year)
     return N.noise_dataset(df, spec, cfg, seed=seed)
 
 
@@ -201,7 +210,7 @@ def generate_decennial_census(
     recs = _source_records(spark, source, D.DECENNIAL_CENSUS,
                            lambda pop: synth.census_records(pop, year, seed=seed),
                            population, seed, year)
-    return _finish(recs, D.DECENNIAL_CENSUS, config, seed, state)
+    return _finish(recs, D.DECENNIAL_CENSUS, config, seed, state, source, year)
 
 
 def generate_american_community_survey(
@@ -217,7 +226,7 @@ def generate_american_community_survey(
     recs = _source_records(spark, source, D.AMERICAN_COMMUNITY_SURVEY,
                            lambda pop: synth.acs_records(pop, year, seed=seed),
                            population, seed, year)
-    return _finish(recs, D.AMERICAN_COMMUNITY_SURVEY, config, seed, state)
+    return _finish(recs, D.AMERICAN_COMMUNITY_SURVEY, config, seed, state, source, year)
 
 
 def generate_current_population_survey(
@@ -233,7 +242,7 @@ def generate_current_population_survey(
     recs = _source_records(spark, source, D.CURRENT_POPULATION_SURVEY,
                            lambda pop: synth.cps_records(pop, year, seed=seed),
                            population, seed, year)
-    return _finish(recs, D.CURRENT_POPULATION_SURVEY, config, seed, state)
+    return _finish(recs, D.CURRENT_POPULATION_SURVEY, config, seed, state, source, year)
 
 
 def generate_women_infants_and_children(
@@ -249,7 +258,7 @@ def generate_women_infants_and_children(
     recs = _source_records(spark, source, D.WOMEN_INFANTS_AND_CHILDREN,
                            lambda pop: synth.wic_records(pop, year, seed=seed),
                            population, seed, year)
-    return _finish(recs, D.WOMEN_INFANTS_AND_CHILDREN, config, seed, state)
+    return _finish(recs, D.WOMEN_INFANTS_AND_CHILDREN, config, seed, state, source, year)
 
 
 def generate_social_security(
@@ -268,7 +277,7 @@ def generate_social_security(
         return ssa.where(F.substring("event_date", 1, 4).cast("int") <= year)
 
     recs = _source_records(spark, source, D.SOCIAL_SECURITY, _synth_ssa, population, seed, year)
-    return _finish(recs, D.SOCIAL_SECURITY, config, seed, state)
+    return _finish(recs, D.SOCIAL_SECURITY, config, seed, state, source, year)
 
 
 def generate_taxes_w2_and_1099(
@@ -284,7 +293,7 @@ def generate_taxes_w2_and_1099(
     recs = _source_records(spark, source, D.TAXES_W2_AND_1099,
                            lambda pop: synth.w2_records(pop, year, seed=seed),
                            population, seed, year)
-    return _finish(recs, D.TAXES_W2_AND_1099, config, seed, state)
+    return _finish(recs, D.TAXES_W2_AND_1099, config, seed, state, source, year)
 
 
 def generate_taxes_1040(
@@ -300,4 +309,4 @@ def generate_taxes_1040(
     recs = _source_records(spark, source, D.TAXES_1040,
                            lambda pop: synth.tax1040_records(pop, year, seed=seed),
                            population, seed, year)
-    return _finish(recs, D.TAXES_1040, config, seed, state)
+    return _finish(recs, D.TAXES_1040, config, seed, state, source, year)

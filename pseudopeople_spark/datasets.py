@@ -243,8 +243,11 @@ CURRENT_POPULATION_SURVEY = DatasetSpec(
 
 WOMEN_INFANTS_AND_CHILDREN = DatasetSpec(
     name="women_infants_and_children",
+    # the reference WIC schema has NO age column (schema_entities.py:
+    # 689-715 — simulant, household, names, dob, address, sex, race,
+    # year), unlike the other person-core datasets
     columns=tuple(
-        _person_core()
+        [c for c in _person_core() if c.name != "age"]
         + _address_block()
         + [
             ColumnSpec("sex", (LEAVE_BLANK, CHOOSE_WRONG_OPTION), options=SEXES),

@@ -64,7 +64,11 @@ def eligibility_proportion_expr(eligible: Column, notna: Column, tag: str) -> Co
 def _scaled_p(p: float, proportion_col: "str | None") -> "Column | float":
     if proportion_col is None:
         return p
-    return F.least(F.lit(1.0), F.lit(p) / F.col(proportion_col))
+    # proportion 0 (or null, empty frame) means NO cell is eligible —
+    # the mask can never fire, so the rate is irrelevant; guard keeps
+    # ANSI mode from raising DIVIDE_BY_ZERO on the unused branch
+    prop = F.col(proportion_col)
+    return F.when(prop > 0, F.least(F.lit(1.0), F.lit(p) / prop)).otherwise(F.lit(0.0))
 
 
 def leave_blank(

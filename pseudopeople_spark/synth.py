@@ -255,15 +255,14 @@ def wic_records(pop: DataFrame, year: int, seed: int = 42) -> DataFrame:
         ((age < 5) & (age >= 0))
         | ((F.col("member") == 1) & (F.pmod(_h(seed, "wic_mother", F.col("sid")), F.lit(10)) == 0))
     )
+    # NO age column — reference WIC schema, schema_entities.py:689-715
     return eligible.select(
         F.format_string(f"wic_{year}_%09d", F.col("sid")).alias("record_id"),
         "simulant_id", "household_id", "first_name", "middle_initial", "last_name",
-        age.cast("string").alias("age"),
         F.date_format("date_of_birth_date", "MMddyyyy").alias("date_of_birth"),
         "street_number", "street_name", "unit_number", "city", "state", "zipcode",
         "sex", "race_ethnicity",
         y.alias("year"),
-        _age_at(y, F.col("copy_birth_year")).cast("string").alias("copy_age"),
         F.date_format("copy_date_of_birth_date", "MMddyyyy").alias("copy_date_of_birth"),
     )
 
