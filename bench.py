@@ -142,7 +142,56 @@ def bench_er(spark, n_simulants: int) -> "dict":
     return {"wall": wall, "pairs": m["n_candidate_pairs"], "f1": m["f1"]}
 
 
+def _tree_cpu_seconds(root_pid: int) -> float:
+    """utime+stime of root_pid and every live descendant via /proc —
+    same methodology as tools/bench_scaling.py."""
+    clk = os.sysconf("SC_CLK_TCK")
+    children: "dict[int, list[int]]" = {}
+    stats: "dict[int, float]" = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                s = f.read()
+        except OSError:
+            continue
+        rest = s[s.rindex(")") + 2:].split()
+        stats[int(d)] = (int(rest[11]) + int(rest[12])) / clk
+        children.setdefault(int(rest[1]), []).append(int(d))
+    total, stack = 0.0, [root_pid]
+    while stack:
+        p = stack.pop()
+        total += stats.get(p, 0.0)
+        stack.extend(children.get(p, []))
+    return total
+
+
 def main() -> None:
+    # This host is shared: external load inflates walls 1.5-2x and has
+    # varied 0-12 cores across rounds. Sample loadavg for the whole run
+    # and subtract our own measured process-tree usage, so the reported
+    # numbers carry their own pollution evidence (round-over-round
+    # comparisons must be load-adjusted, not taken at face value).
+    import statistics
+    import threading
+
+    load_samples: "list[float]" = []
+    stop_sampler = threading.Event()
+
+    def _sampler() -> None:
+        while not stop_sampler.is_set():
+            try:
+                with open("/proc/loadavg") as f:
+                    load_samples.append(float(f.read().split()[0]))
+            except OSError:
+                pass
+            stop_sampler.wait(5.0)
+
+    threading.Thread(target=_sampler, daemon=True).start()
+    bench_t0 = time.time()
+    cpu0 = _tree_cpu_seconds(os.getpid())
+
     spark = get_spark("bench", master=f"local[{CPUS}]")
     # The JSON line below must be the LAST thing on stdout/stderr: any
     # late log line (e.g. the streaming StateStore maintenance thread
@@ -169,6 +218,10 @@ def main() -> None:
     er = bench_er(spark, n_simulants=20_000)
     times["er_resolve_20k"] = round(er["wall"], 3)
 
+    stop_sampler.set()
+    own_cores = (_tree_cpu_seconds(os.getpid()) - cpu0) / max(time.time() - bench_t0, 1e-9)
+    load_med = statistics.median(load_samples) if load_samples else 0.0
+
     total = round(sum(times.values()), 3)
     out = {
         "metric": "suite_seconds",
@@ -182,6 +235,12 @@ def main() -> None:
         "er_candidate_pairs": er["pairs"],
         "er_f1": round(er["f1"], 5),
         "cpus": int(CPUS),
+        # pollution evidence: median 1-min loadavg during the run minus
+        # this process tree's own measured core usage — >~2 means the
+        # walls above are inflated by neighbors, not by this code
+        "load_median": round(load_med, 2),
+        "own_cores_avg": round(own_cores, 2),
+        "external_load_est": round(max(0.0, load_med - own_cores), 2),
     }
     if errors:
         out["errors"] = errors
