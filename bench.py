@@ -57,6 +57,12 @@ BENCH_QUERIES = [
     "noise_swap_month_day",
     "noise_wrong_zipcode",
     "noise_omit_row",
+    "noise_copy_household",
+    "noise_fake_name",
+    "noise_use_nickname",
+    "noise_do_not_respond",
+    "noise_wrong_digits",
+    "noise_duplicate_guardian",
     "streaming_window_agg",
     "media_ref_extract",
 ]
