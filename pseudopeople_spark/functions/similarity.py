@@ -85,6 +85,8 @@ def jaro_winkler(s1: str, s2: str, prefix_scale: float = 0.1, boost_threshold: f
 # import survives batches AND tasks. Bounded: cleared when it exceeds
 # the cap (names are Zipfian — the head re-fills instantly).
 _JW_CACHE: "dict[tuple, float]" = {}
+_LEV_CACHE: "dict[tuple, float]" = {}  # normalized-lev ratios (dob/ssn pairs)
+_FAMBEST_CACHES: "dict[str, dict]" = {}  # (variant-set, variant-set) -> best lev ratio
 _FIRST_SIM_CACHES: "dict[str, dict]" = {}
 _CACHE_MAX = 4_000_000
 
@@ -131,24 +133,44 @@ def levenshtein(s1: str, s2: str) -> int:
     return prev[-1]
 
 
-def make_first_name_sim_udf(families: "dict[str, frozenset]"):
-    """Factory: nickname-family-aware first-name similarity —
+def family_cache_token(families: "dict[str, frozenset]") -> str:
+    """Cache namespace per distinct families table (tests may pass
+    custom tables; keys distinguish them)."""
+    return f"{len(families)}:{hash(frozenset(families))}"
+
+
+def make_pair_sim(families: "dict[str, frozenset]"):
+    """Plain-Python nickname-family-aware first-name similarity —
     max(jaro_winkler, 0.93 if the two names' family sets overlap,
     best Levenshtein similarity across the family cross-product capped
-    at 0.93). 0.93 sits below the >=0.94 name-only match tiers (family
-    relation alone is never near-exact identity) but above the
-    disagreement veto.
+    at 0.93). Shared by the pandas-UDF path (make_first_name_sim_udf)
+    and the mapInArrow scorer (linkage.scoring.score_pairs_arrow) so
+    the two plans are value-identical by construction.
 
-    ONE Arrow UDF with a PROCESS-persistent memo (module-level, see
-    _FIRST_SIM_CACHES) keyed on the (Zipfian) name pair: each distinct
-    pair's ~|family|^2 Levenshteins run once per python worker, not once
-    per row or per Arrow batch. Fast paths (value-identical): equal
-    names short-circuit to 1.0, and the family logic is skipped when
-    the plain JW already exceeds the 0.93 family cap."""
+    The family cross-product best-Levenshtein is memoized on the
+    VARIANT-SET pair, not the name pair: a name with a family maps to
+    fa | {a} == fa (every name is a member of its own family by
+    construction in scoring._nickname_families), so the cross-product
+    depends only on (fa, fb) — and distinct family-set pairs are
+    orders of magnitude fewer than distinct name pairs. frozenset
+    caches its own hash, so a warm lookup is two hash probes. The memo
+    is process-persistent (module-level, keyed per families table)."""
+    fam_token = family_cache_token(families)
 
-    # cache namespace per distinct families table (tests may pass
-    # custom tables; keys distinguish them)
-    fam_token = f"{len(families)}:{hash(frozenset(families))}"
+    def _variant_best(va: frozenset, vb: frozenset) -> float:
+        cache = _FAMBEST_CACHES.setdefault(fam_token, {})
+        k = (va, vb)
+        best = cache.get(k)
+        if best is None:
+            best = 0.0
+            for x in va:
+                for y in vb:
+                    d = levenshtein(x, y)
+                    m = max(len(x), len(y))
+                    if m:
+                        best = max(best, 1.0 - d / m)
+            cache[k] = best
+        return best
 
     def pair_sim(a: str, b: str) -> float:
         if a == b:
@@ -161,18 +183,28 @@ def make_first_name_sim_udf(families: "dict[str, frozenset]"):
         if fa is not None and fb is not None:
             if not fa.isdisjoint(fb):
                 return max(s, 0.93)
-        va = fa | {a} if fa else {a}
-        vb = fb | {b} if fb else {b}
+        # a is a member of its own family for tables built by
+        # scoring._nickname_families; the membership check keeps exact
+        # semantics for custom test tables where it may not be
+        va = (fa if a in fa else frozenset(fa | {a})) if fa else frozenset((a,))
+        vb = (fb if b in fb else frozenset(fb | {b})) if fb else frozenset((b,))
         if len(va) > 1 or len(vb) > 1:
-            best = 0.0
-            for x in va:
-                for y in vb:
-                    d = levenshtein(x, y)
-                    m = max(len(x), len(y))
-                    if m:
-                        best = max(best, 1.0 - d / m)
-            s = max(s, min(best, 0.93))
+            s = max(s, min(_variant_best(va, vb), 0.93))
         return s
+
+    return pair_sim
+
+
+def make_first_name_sim_udf(families: "dict[str, frozenset]"):
+    """Arrow pandas-UDF wrapper over make_pair_sim with a
+    PROCESS-persistent memo (module-level _FIRST_SIM_CACHES) keyed on
+    the (Zipfian) name pair: each distinct pair's ~|family|^2
+    Levenshteins run once per python worker, not once per row or per
+    Arrow batch. Fast paths (value-identical): equal names
+    short-circuit to 1.0, and the family logic is skipped when the
+    plain JW already exceeds the 0.93 family cap."""
+    fam_token = family_cache_token(families)
+    pair_sim = make_pair_sim(families)
 
     @F.pandas_udf(T.DoubleType())
     def first_sim(a: pd.Series, b: pd.Series) -> pd.Series:

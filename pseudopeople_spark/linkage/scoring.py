@@ -85,7 +85,18 @@ def _py_gated(udf, a: Column, b: Column) -> Column:
     the 300k-simulant bench this removes the string traffic for the
     ~60% equal-name pairs. Value semantics are identical: the UDFs'
     own equal-string fast path returns 1.0 (or 0.0 for '') which is
-    reproduced here as a JVM expression."""
+    reproduced here as a JVM expression.
+
+    ``PP_SCORING_JVM_GATE=0`` disables the gate (plain null-guarded UDF
+    over the upper-cased columns) — the switch exists so the two plan
+    shapes can be A/B-measured on identical inputs
+    (tools/ab_scoring_gate.py)."""
+    import os
+
+    if os.environ.get("PP_SCORING_JVM_GATE", "1") == "0":
+        return F.when(
+            a.isNull() | b.isNull(), F.lit(None).cast("double")
+        ).otherwise(udf(F.upper(a), F.upper(b)))
     ua, ub = F.upper(a), F.upper(b)
     need = a.isNotNull() & b.isNotNull() & (ua != ub)
     s_py = udf(F.when(need, ua), F.when(need, ub))
@@ -104,7 +115,9 @@ def _sim(spec: FieldSpec) -> Column:
         return dob_similarity(a, b)
     elif spec.kind == "lev":
         max_len = F.greatest(F.length(a), F.length(b))
-        s = F.lit(1.0) - F.levenshtein(a, b).cast("double") / max_len
+        # explicit both-empty -> null (ANSI-safe: x/0 raises under
+        # spark.sql.ansi.enabled, the Spark 4 default)
+        s = F.when(max_len > 0, F.lit(1.0) - F.levenshtein(a, b).cast("double") / max_len)
     else:
         s = F.when(a == b, 1.0).otherwise(0.0)
     return F.when(a.isNull() | b.isNull(), None).otherwise(s)
@@ -133,6 +146,36 @@ def _nickname_families() -> "dict[str, frozenset]":
 
 def score_pairs(pairs_with_fields: DataFrame, fields: "tuple[FieldSpec, ...]" = DEFAULT_FIELDS) -> DataFrame:
     """Add sim_<field> columns and a null-renormalized weighted score.
+
+    Dispatches between two value-identical physical strategies
+    (``PP_SCORING_IMPL``: ``arrow`` | ``udf``):
+
+    * ``arrow`` (default): ONE ``mapInArrow`` pass computes every
+      similarity and the score per Arrow batch — no ``EvalPythonExec``
+      row queue. The scalar-pandas-UDF plan buffers EVERY input row
+      through a JVM-side HybridRowQueue (UnsafeRow.copy per row, see
+      EvalPythonExec.doExecute) to rejoin UDF outputs positionally; on
+      a ~20-column pair frame that queue traffic plus the giant
+      codegen'd sims+score projection dominates the stage and is pure
+      per-row JVM overhead that grows with row width. mapInArrow
+      streams whole columnar batches both ways instead — the JVM side
+      is reduced to the parquet scan and Arrow conversion.
+    * ``udf``: the previous shape — JVM codegen for the cheap sims +
+      two scalar pandas UDFs for the name fields. Kept for A/B
+      (tools/ab_scoring_gate.py) and as the fallback.
+
+    Both paths share the same python kernels (similarity.jaro_winkler,
+    make_pair_sim, process-persistent memos), so outputs are
+    bit-identical (asserted by tests/test_scoring_impls.py)."""
+    import os
+
+    if os.environ.get("PP_SCORING_IMPL", "arrow") == "arrow":
+        return score_pairs_arrow(pairs_with_fields, fields)
+    return score_pairs_udf(pairs_with_fields, fields)
+
+
+def score_pairs_udf(pairs_with_fields: DataFrame, fields: "tuple[FieldSpec, ...]" = DEFAULT_FIELDS) -> DataFrame:
+    """Scalar-pandas-UDF scoring plan (see score_pairs docstring).
     The first-name similarity is nickname-family aware (the inverse of
     the use_nickname noise channel) via a memoized Arrow UDF
     (similarity.make_first_name_sim_udf)."""
@@ -157,6 +200,239 @@ def score_pairs(pairs_with_fields: DataFrame, fields: "tuple[FieldSpec, ...]" = 
     return df.withColumn("score", F.when(den > 0, num / den).otherwise(F.lit(0.0)))
 
 
+def score_pairs_arrow(
+    pairs_with_fields: DataFrame, fields: "tuple[FieldSpec, ...]" = DEFAULT_FIELDS
+) -> DataFrame:
+    """Single-pass mapInArrow scorer (see score_pairs docstring for the
+    rationale vs the UDF plan). Per batch: pyarrow.compute handles the
+    null-propagating equality sims C-side; python touches ONLY the rows
+    a JVM/C kernel can't decide (non-equal name pairs -> memoized
+    jaro-winkler / nickname-family sim; non-equal dob/ssn -> bounded
+    levenshtein), gathered with pc.take so the equal majority is never
+    materialized as python objects. Output batches append the sim/score
+    columns to the input columns unchanged."""
+    from pyspark.sql import types as T
+
+    in_schema = pairs_with_fields.schema
+    out_schema = T.StructType(
+        list(in_schema.fields)
+        + [T.StructField(f"sim_{s.name}", T.DoubleType()) for s in fields]
+        + [T.StructField("score", T.DoubleType())]
+    )
+    in_names = [f.name for f in in_schema.fields]
+    specs = [(s.name, s.kind, s.weight) for s in fields]
+    families = _nickname_families()
+
+    def _score_batches(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from pseudopeople_spark.functions import similarity as S
+
+        pair_sim = S.make_pair_sim(families)
+        fam_token = S.family_cache_token(families)
+
+        def _batch_lev_ratio(out, a, b, idx):
+            """Vectorized Wagner-Fischer over the subset rows at idx:
+            out[idx] = 1 - lev/max(len) (max(len)==0 -> nan). One numpy
+            DP over (k, maxlen) byte matrices instead of k python DPs —
+            the dob/ssn fallback pairs are ~90% distinct (dates and SSNs
+            are high-cardinality), so per-pair memoization cannot help
+            and per-pair python DP at ~30us each dominated the batch.
+            ASCII-only fast path (dob/ssn are digit strings); non-ascii
+            rows fall back to the python kernel."""
+            if idx.size == 0:
+                return idx[:0]
+            sub_a = pc.take(a, pa.array(idx))
+            sub_b = pc.take(b, pa.array(idx))
+            ok = pc.and_(pc.string_is_ascii(sub_a), pc.string_is_ascii(sub_b))
+            if not pc.min(ok).as_py():
+                keep = pc.fill_null(ok, False).to_numpy(zero_copy_only=False)
+                slow = idx[~keep]
+                idx = idx[keep]
+                if idx.size == 0:
+                    return slow
+                sub_a = pc.take(a, pa.array(idx))
+                sub_b = pc.take(b, pa.array(idx))
+            else:
+                slow = idx[:0]
+
+            def _padmat(arr):
+                arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+                odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+                off = np.frombuffer(arr.buffers()[1], dtype=odt)[
+                    arr.offset : arr.offset + len(arr) + 1
+                ]
+                buf = arr.buffers()[2]
+                data = (
+                    np.frombuffer(buf, dtype=np.uint8)
+                    if buf is not None
+                    else np.zeros(0, dtype=np.uint8)
+                )
+                lens = (off[1:] - off[:-1]).astype(np.int64)
+                width = int(lens.max()) if len(lens) else 0
+                mat = np.zeros((len(arr), width), dtype=np.uint8)
+                if width:
+                    pos = np.arange(width)[None, :]
+                    m = pos < lens[:, None]
+                    mat[m] = data[(off[:-1, None] + pos)[m]]
+                return mat, lens
+
+            ma, la = _padmat(sub_a)
+            mb, lb = _padmat(sub_b)
+            k = len(la)
+            wa, wb = ma.shape[1], mb.shape[1]
+            # dp over j=0..wb for each prefix length i of a; capture the
+            # row-appropriate cell (la, lb) as i passes each row's la
+            dp = np.tile(np.arange(wb + 1, dtype=np.int32), (k, 1))
+            res = dp[np.arange(k), lb]  # i == 0 rows (la == 0)
+            for i in range(1, wa + 1):
+                prev = dp
+                dp = np.empty_like(prev)
+                dp[:, 0] = i
+                ca = ma[:, i - 1][:, None]
+                sub = prev[:, :-1] + (ca != mb).astype(np.int32)
+                np.minimum(sub, prev[:, 1:] + 1, out=sub)
+                # left-to-right carry for the insertion term
+                for j in range(1, wb + 1):
+                    dp[:, j] = np.minimum(sub[:, j - 1], dp[:, j - 1] + 1)
+                hit = la == i
+                if hit.any():
+                    res = np.where(hit, dp[np.arange(k), lb], res)
+            mx = np.maximum(la, lb).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ratio = np.where(mx > 0, 1.0 - res / mx, np.nan)
+            out[idx] = ratio
+            return slow
+
+        def _py_rows(out, valid, ua, ub, idx, cache, fn):
+            """Fill out[idx] with fn over the (string) pairs at idx,
+            via the process-persistent cache."""
+            if idx.size == 0:
+                return
+            sa = pc.take(ua, pa.array(idx)).to_pylist()
+            sb = pc.take(ub, pa.array(idx)).to_pylist()
+            nan = float("nan")
+            for j, (x, y) in zip(idx, zip(sa, sb)):
+                k = (x, y)
+                v = cache.get(k)
+                if v is None:
+                    v = fn(x, y)
+                    if v is None:  # kernel says "null" (e.g. 0/0)
+                        v = nan
+                    cache[k] = v
+                out[j] = v
+
+        def _name_sim(a, b, cache, fn):
+            """None if either null; upper-equal -> 1.0 ('' -> 0.0);
+            else memoized fn(upper(a), upper(b))."""
+            ua, ub = pc.utf8_upper(a), pc.utf8_upper(b)
+            valid = pc.and_(a.is_valid(), b.is_valid()).to_numpy(zero_copy_only=False)
+            eq = pc.fill_null(pc.equal(ua, ub), False).to_numpy(zero_copy_only=False)
+            nonempty = pc.fill_null(pc.greater(pc.utf8_length(ua), 0), False).to_numpy(
+                zero_copy_only=False
+            )
+            out = np.zeros(len(valid), dtype="float64")
+            out[eq & nonempty] = 1.0
+            idx = np.nonzero(valid & ~eq)[0]
+            _py_rows(out, valid, ua, ub, idx, cache, fn)
+            return out, valid
+
+        def _lev_sim(a, b, cache):
+            """None if either null; else 1 - lev/max(len) (equal -> 1.0,
+            both-empty -> None, mirroring Spark's null for x/0)."""
+            valid = pc.and_(a.is_valid(), b.is_valid()).to_numpy(zero_copy_only=False)
+            eq = pc.fill_null(pc.equal(a, b), False).to_numpy(zero_copy_only=False)
+            nonempty = pc.fill_null(pc.greater(pc.utf8_length(a), 0), False).to_numpy(
+                zero_copy_only=False
+            )
+            out = np.zeros(len(valid), dtype="float64")
+            out[eq & nonempty] = 1.0
+            valid = valid & (~eq | nonempty)  # both-empty -> null (x/0)
+            idx = np.nonzero(valid & ~eq)[0]
+            slow = _batch_lev_ratio(out, a, b, idx)
+
+            def lev_ratio(x, y):
+                m = max(len(x), len(y))
+                return 1.0 - S.levenshtein(x, y) / m if m else None
+
+            _py_rows(out, valid, a, b, slow, cache, lev_ratio)
+            return out, valid
+
+        def _dob_sim(a, b, cache):
+            """Equal or month/day-swapped -> 1.0; else 1 - lev/max(len)."""
+            valid = pc.and_(a.is_valid(), b.is_valid()).to_numpy(zero_copy_only=False)
+            swapped = pc.binary_join_element_wise(
+                pc.utf8_slice_codeunits(a, 0, 4),
+                pc.utf8_slice_codeunits(a, 6, 8),
+                pc.utf8_slice_codeunits(a, 4, 6),
+                "",
+            )
+            eq = pc.fill_null(
+                pc.or_(pc.equal(a, b), pc.equal(swapped, b)), False
+            ).to_numpy(zero_copy_only=False)
+            out = np.zeros(len(valid), dtype="float64")
+            out[eq] = 1.0
+            idx = np.nonzero(valid & ~eq)[0]
+            slow = _batch_lev_ratio(out, a, b, idx)
+
+            def lev_ratio(x, y):
+                m = max(len(x), len(y))
+                return 1.0 - S.levenshtein(x, y) / m if m else None
+
+            _py_rows(out, valid, a, b, slow, cache, lev_ratio)
+            return out, valid
+
+        for rb in batches:
+            n = rb.num_rows
+            col = {name: rb.column(i) for i, name in enumerate(in_names)}
+            if len(S._JW_CACHE) > S._CACHE_MAX:
+                S._JW_CACHE.clear()
+            if len(S._LEV_CACHE) > S._CACHE_MAX:
+                S._LEV_CACHE.clear()
+            fs_cache = S._FIRST_SIM_CACHES.setdefault(fam_token, {})
+            if len(fs_cache) > S._CACHE_MAX:
+                fs_cache.clear()
+            sims: "list[tuple[np.ndarray, np.ndarray, float]]" = []
+            arrays = list(rb.columns)
+            names = list(in_names)
+            for name, kind, weight in specs:
+                a, b = col[f"l_{name}"], col[f"r_{name}"]
+                if kind == "jw" and name == "first_name":
+                    out, valid = _name_sim(a, b, fs_cache, lambda x, y: pair_sim(str(x), str(y)))
+                elif kind == "jw":
+                    out, valid = _name_sim(a, b, S._JW_CACHE, lambda x, y: S.jaro_winkler(str(x), str(y)))
+                elif kind == "dob":
+                    out, valid = _dob_sim(a, b, S._LEV_CACHE)
+                elif kind == "lev":
+                    out, valid = _lev_sim(a, b, S._LEV_CACHE)
+                else:
+                    eqv = pc.equal(a, b)
+                    valid = eqv.is_valid().to_numpy(zero_copy_only=False)
+                    out = pc.cast(pc.fill_null(eqv, False), pa.float64()).to_numpy(
+                        zero_copy_only=False
+                    )
+                # a python kernel returning None marks the row null
+                nan = np.isnan(out)
+                if nan.any():
+                    valid = valid & ~nan
+                sims.append((out, valid, weight))
+                arrays.append(pa.array(out, type=pa.float64(), mask=~valid))
+                names.append(f"sim_{name}")
+            num = np.zeros(n, dtype="float64")
+            den = np.zeros(n, dtype="float64")
+            for out, valid, weight in sims:
+                num += np.where(valid, out * weight, 0.0)
+                den += np.where(valid, weight, 0.0)
+            score = np.where(den > 0, num / np.where(den > 0, den, 1.0), 0.0)
+            arrays.append(pa.array(score, type=pa.float64()))
+            names.append("score")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return pairs_with_fields.mapInArrow(_score_batches, out_schema)
+
+
 def swap_month_day(dob: Column) -> Column:
     """yyyyMMdd with month/day transposed — inverts the reference's
     swap_month_and_day noise for comparison purposes."""
@@ -168,7 +444,10 @@ def dob_similarity(a: Column, b: Column) -> Column:
     transposition as an exact match (it is the single most common date
     corruption — reference swap_months_and_days) and otherwise falls
     back to normalized edit distance."""
-    lev = F.lit(1.0) - F.levenshtein(a, b).cast("double") / F.greatest(F.length(a), F.length(b))
+    mx = F.greatest(F.length(a), F.length(b))
+    # the equal branch already covers both-empty; the guard keeps the
+    # division ANSI-safe (x/0 raises under Spark 4's default ANSI mode)
+    lev = F.when(mx > 0, F.lit(1.0) - F.levenshtein(a, b).cast("double") / mx)
     return F.when(a.isNull() | b.isNull(), None).otherwise(
         F.when((a == b) | (swap_month_day(a) == b), 1.0).otherwise(lev)
     )
