@@ -45,6 +45,12 @@ class ResolveConfig:
     snb_window: int = 3
     use_sorted_neighborhood: bool = True
     use_minhash: bool = True
+    # records tables up to this size score via the fused broadcast
+    # mapInArrow path (scoring.score_pairs_fused) — no attach joins, a
+    # 16-byte id pair on the wire instead of the ~250-byte wide row.
+    # Larger tables (the 10^12-document regime) use the co-partitioned
+    # join + score_pairs_arrow path, which never replicates records.
+    broadcast_score_limit: int = 5_000_000
     checkpoint_dir: "str | None" = None
 
 
@@ -336,8 +342,16 @@ def resolve(
     cand = _timed("pairs", _pairs)
 
     def _scored() -> DataFrame:
-        with_fields = scoring.attach_pair_fields(cand, records, CANONICAL_FIELDS + ["base_rid"])
-        out = scoring.score_pairs(with_fields)
+        import os
+
+        attach = CANONICAL_FIELDS + ["base_rid"]
+        if (
+            n_records <= cfg.broadcast_score_limit
+            and os.environ.get("PP_SCORING_IMPL", "arrow") == "arrow"
+        ):
+            out = scoring.score_pairs_fused(spark, cand, records, attach)
+        else:
+            out = scoring.score_pairs(scoring.attach_pair_fields(cand, records, attach))
         # Fuse the match decision into the same pass: is_match is pure
         # JVM over the sims just computed, so deciding HERE means no
         # downstream consumer ever re-runs the cascade over the full

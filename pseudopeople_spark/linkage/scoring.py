@@ -224,213 +224,307 @@ def score_pairs_arrow(
     families = _nickname_families()
 
     def _score_batches(batches):
-        import numpy as np
+        compute = _make_sim_engine(families, specs)
+        for rb in batches:
+            col = {name: rb.column(i) for i, name in enumerate(in_names)}
+            add_arrays, add_names = compute(col, rb.num_rows)
+            yield _pa_batch(list(rb.columns) + add_arrays, list(in_names) + add_names)
+
+    return pairs_with_fields.mapInArrow(_score_batches, out_schema)
+
+
+def _pa_batch(arrays, names):
+    import pyarrow as pa
+
+    return pa.RecordBatch.from_arrays(arrays, names=names)
+
+
+def _make_sim_engine(families, specs):
+    """Worker-side factory shared by score_pairs_arrow and
+    score_pairs_fused: returns ``compute(col, n) -> (arrays, names)``
+    where ``col`` maps l_*/r_* field names to pyarrow Arrays and the
+    result appends sim_<field> columns plus the null-renormalized
+    weighted score."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pseudopeople_spark.functions import similarity as S
+
+    pair_sim = S.make_pair_sim(families)
+    fam_token = S.family_cache_token(families)
+
+
+    def _batch_lev_ratio(out, a, b, idx):
+        """Vectorized Wagner-Fischer over the subset rows at idx:
+        out[idx] = 1 - lev/max(len) (max(len)==0 -> nan). One numpy
+        DP over (k, maxlen) byte matrices instead of k python DPs —
+        the dob/ssn fallback pairs are ~90% distinct (dates and SSNs
+        are high-cardinality), so per-pair memoization cannot help
+        and per-pair python DP at ~30us each dominated the batch.
+        ASCII-only fast path (dob/ssn are digit strings); non-ascii
+        rows fall back to the python kernel."""
+        if idx.size == 0:
+            return idx[:0]
+        sub_a = pc.take(a, pa.array(idx))
+        sub_b = pc.take(b, pa.array(idx))
+        ok = pc.and_(pc.string_is_ascii(sub_a), pc.string_is_ascii(sub_b))
+        if not pc.min(ok).as_py():
+            keep = pc.fill_null(ok, False).to_numpy(zero_copy_only=False)
+            slow = idx[~keep]
+            idx = idx[keep]
+            if idx.size == 0:
+                return slow
+            sub_a = pc.take(a, pa.array(idx))
+            sub_b = pc.take(b, pa.array(idx))
+        else:
+            slow = idx[:0]
+
+        def _padmat(arr):
+            arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+            odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+            off = np.frombuffer(arr.buffers()[1], dtype=odt)[
+                arr.offset : arr.offset + len(arr) + 1
+            ]
+            buf = arr.buffers()[2]
+            data = (
+                np.frombuffer(buf, dtype=np.uint8)
+                if buf is not None
+                else np.zeros(0, dtype=np.uint8)
+            )
+            lens = (off[1:] - off[:-1]).astype(np.int64)
+            width = int(lens.max()) if len(lens) else 0
+            mat = np.zeros((len(arr), width), dtype=np.uint8)
+            if width:
+                pos = np.arange(width)[None, :]
+                m = pos < lens[:, None]
+                mat[m] = data[(off[:-1, None] + pos)[m]]
+            return mat, lens
+
+        ma, la = _padmat(sub_a)
+        mb, lb = _padmat(sub_b)
+        k = len(la)
+        wa, wb = ma.shape[1], mb.shape[1]
+        # dp over j=0..wb for each prefix length i of a; capture the
+        # row-appropriate cell (la, lb) as i passes each row's la
+        dp = np.tile(np.arange(wb + 1, dtype=np.int32), (k, 1))
+        res = dp[np.arange(k), lb]  # i == 0 rows (la == 0)
+        for i in range(1, wa + 1):
+            prev = dp
+            dp = np.empty_like(prev)
+            dp[:, 0] = i
+            ca = ma[:, i - 1][:, None]
+            sub = prev[:, :-1] + (ca != mb).astype(np.int32)
+            np.minimum(sub, prev[:, 1:] + 1, out=sub)
+            # left-to-right carry for the insertion term
+            for j in range(1, wb + 1):
+                dp[:, j] = np.minimum(sub[:, j - 1], dp[:, j - 1] + 1)
+            hit = la == i
+            if hit.any():
+                res = np.where(hit, dp[np.arange(k), lb], res)
+        mx = np.maximum(la, lb).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.where(mx > 0, 1.0 - res / mx, np.nan)
+        out[idx] = ratio
+        return slow
+
+    def _py_rows(out, valid, ua, ub, idx, cache, fn):
+        """Fill out[idx] with fn over the (string) pairs at idx,
+        via the process-persistent cache."""
+        if idx.size == 0:
+            return
+        sa = pc.take(ua, pa.array(idx)).to_pylist()
+        sb = pc.take(ub, pa.array(idx)).to_pylist()
+        nan = float("nan")
+        for j, (x, y) in zip(idx, zip(sa, sb)):
+            k = (x, y)
+            v = cache.get(k)
+            if v is None:
+                v = fn(x, y)
+                if v is None:  # kernel says "null" (e.g. 0/0)
+                    v = nan
+                cache[k] = v
+            out[j] = v
+
+    def _name_sim(a, b, cache, fn):
+        """None if either null; upper-equal -> 1.0 ('' -> 0.0);
+        else memoized fn(upper(a), upper(b))."""
+        ua, ub = pc.utf8_upper(a), pc.utf8_upper(b)
+        valid = pc.and_(a.is_valid(), b.is_valid()).to_numpy(zero_copy_only=False)
+        eq = pc.fill_null(pc.equal(ua, ub), False).to_numpy(zero_copy_only=False)
+        nonempty = pc.fill_null(pc.greater(pc.utf8_length(ua), 0), False).to_numpy(
+            zero_copy_only=False
+        )
+        out = np.zeros(len(valid), dtype="float64")
+        out[eq & nonempty] = 1.0
+        idx = np.nonzero(valid & ~eq)[0]
+        _py_rows(out, valid, ua, ub, idx, cache, fn)
+        return out, valid
+
+    def _lev_sim(a, b, cache):
+        """None if either null; else 1 - lev/max(len) (equal -> 1.0,
+        both-empty -> None, mirroring Spark's null for x/0)."""
+        valid = pc.and_(a.is_valid(), b.is_valid()).to_numpy(zero_copy_only=False)
+        eq = pc.fill_null(pc.equal(a, b), False).to_numpy(zero_copy_only=False)
+        nonempty = pc.fill_null(pc.greater(pc.utf8_length(a), 0), False).to_numpy(
+            zero_copy_only=False
+        )
+        out = np.zeros(len(valid), dtype="float64")
+        out[eq & nonempty] = 1.0
+        valid = valid & (~eq | nonempty)  # both-empty -> null (x/0)
+        idx = np.nonzero(valid & ~eq)[0]
+        slow = _batch_lev_ratio(out, a, b, idx)
+
+        def lev_ratio(x, y):
+            m = max(len(x), len(y))
+            return 1.0 - S.levenshtein(x, y) / m if m else None
+
+        _py_rows(out, valid, a, b, slow, cache, lev_ratio)
+        return out, valid
+
+    def _dob_sim(a, b, cache):
+        """Equal or month/day-swapped -> 1.0; else 1 - lev/max(len)."""
+        valid = pc.and_(a.is_valid(), b.is_valid()).to_numpy(zero_copy_only=False)
+        swapped = pc.binary_join_element_wise(
+            pc.utf8_slice_codeunits(a, 0, 4),
+            pc.utf8_slice_codeunits(a, 6, 8),
+            pc.utf8_slice_codeunits(a, 4, 6),
+            "",
+        )
+        eq = pc.fill_null(
+            pc.or_(pc.equal(a, b), pc.equal(swapped, b)), False
+        ).to_numpy(zero_copy_only=False)
+        out = np.zeros(len(valid), dtype="float64")
+        out[eq] = 1.0
+        idx = np.nonzero(valid & ~eq)[0]
+        slow = _batch_lev_ratio(out, a, b, idx)
+
+        def lev_ratio(x, y):
+            m = max(len(x), len(y))
+            return 1.0 - S.levenshtein(x, y) / m if m else None
+
+        _py_rows(out, valid, a, b, slow, cache, lev_ratio)
+        return out, valid
+
+    def compute(col, n):
+        """col: l_*/r_* name -> pa.Array; returns (arrays, names) for
+        the sim_<field> columns + score."""
+        if len(S._JW_CACHE) > S._CACHE_MAX:
+            S._JW_CACHE.clear()
+        if len(S._LEV_CACHE) > S._CACHE_MAX:
+            S._LEV_CACHE.clear()
+        fs_cache = S._FIRST_SIM_CACHES.setdefault(fam_token, {})
+        if len(fs_cache) > S._CACHE_MAX:
+            fs_cache.clear()
+        sims = []
+        arrays = []
+        names = []
+        for name, kind, weight in specs:
+            a, b = col[f"l_{name}"], col[f"r_{name}"]
+            if kind == "jw" and name == "first_name":
+                out, valid = _name_sim(a, b, fs_cache, lambda x, y: pair_sim(str(x), str(y)))
+            elif kind == "jw":
+                out, valid = _name_sim(a, b, S._JW_CACHE, lambda x, y: S.jaro_winkler(str(x), str(y)))
+            elif kind == "dob":
+                out, valid = _dob_sim(a, b, S._LEV_CACHE)
+            elif kind == "lev":
+                out, valid = _lev_sim(a, b, S._LEV_CACHE)
+            else:
+                eqv = pc.equal(a, b)
+                valid = eqv.is_valid().to_numpy(zero_copy_only=False)
+                out = pc.cast(pc.fill_null(eqv, False), pa.float64()).to_numpy(
+                    zero_copy_only=False
+                )
+            # a python kernel returning None marks the row null
+            nan = np.isnan(out)
+            if nan.any():
+                valid = valid & ~nan
+            sims.append((out, valid, weight))
+            arrays.append(pa.array(out, type=pa.float64(), mask=~valid))
+            names.append(f"sim_{name}")
+        num = np.zeros(n, dtype="float64")
+        den = np.zeros(n, dtype="float64")
+        for out, valid, weight in sims:
+            num += np.where(valid, out * weight, 0.0)
+            den += np.where(valid, weight, 0.0)
+        score = np.where(den > 0, num / np.where(den > 0, den, 1.0), 0.0)
+        arrays.append(pa.array(score, type=pa.float64()))
+        names.append("score")
+        return arrays, names
+
+    return compute
+
+
+def score_pairs_fused(
+    spark,
+    pairs: DataFrame,
+    records: DataFrame,
+    attach: "list[str]",
+    fields: "tuple[FieldSpec, ...]" = DEFAULT_FIELDS,
+    id_col: str = "record_id",
+) -> DataFrame:
+    """Fused attach+score: one mapInArrow pass over the BARE pair ids,
+    with the record fields looked up worker-side from a broadcast of
+    the records table. Replaces attach_pair_fields' two sort-merge
+    joins AND shrinks the scoring stage's exchange traffic from the
+    ~250-byte wide pair row to the 16-byte id pair — on a host whose
+    per-core throughput degrades under memory traffic, bytes-per-pair
+    is the scaling limiter, so this is the variant resolve() uses
+    whenever the records table fits a worker broadcast
+    (ResolveConfig.broadcast_score_limit, default 5M records ~ 500MB).
+    Beyond the limit the join + score_pairs_arrow path is the scale
+    shape: it co-partitions pairs and records by id instead of
+    replicating records, which is the only option at 10^12 documents.
+
+    Output schema and values are identical to
+    attach_pair_fields(...) |> score_pairs_arrow(...) (asserted by
+    tests/test_scoring_impls.py)."""
+    from pyspark.sql import types as T
+
+    rec_tbl = records.select(id_col, *attach).toArrow()
+    b = spark.sparkContext.broadcast(rec_tbl)
+    rec_schema = {f.name: f.dataType for f in records.select(id_col, *attach).schema.fields}
+    pair_fields = list(pairs.select("id_l", "id_r").schema.fields)
+    out_schema = T.StructType(
+        pair_fields
+        + [T.StructField(f"{side}_{c}", rec_schema[c]) for side in ("l", "r") for c in attach]
+        + [T.StructField(f"sim_{s.name}", T.DoubleType()) for s in fields]
+        + [T.StructField("score", T.DoubleType())]
+    )
+    specs = [(s.name, s.kind, s.weight) for s in fields]
+    families = _nickname_families()
+    in_names = [f.name for f in pairs.schema.fields]
+    i_l, i_r = in_names.index("id_l"), in_names.index("id_r")
+
+    def _fused_batches(batches):
+        import pandas as pd
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        from pseudopeople_spark.functions import similarity as S
-
-        pair_sim = S.make_pair_sim(families)
-        fam_token = S.family_cache_token(families)
-
-        def _batch_lev_ratio(out, a, b, idx):
-            """Vectorized Wagner-Fischer over the subset rows at idx:
-            out[idx] = 1 - lev/max(len) (max(len)==0 -> nan). One numpy
-            DP over (k, maxlen) byte matrices instead of k python DPs —
-            the dob/ssn fallback pairs are ~90% distinct (dates and SSNs
-            are high-cardinality), so per-pair memoization cannot help
-            and per-pair python DP at ~30us each dominated the batch.
-            ASCII-only fast path (dob/ssn are digit strings); non-ascii
-            rows fall back to the python kernel."""
-            if idx.size == 0:
-                return idx[:0]
-            sub_a = pc.take(a, pa.array(idx))
-            sub_b = pc.take(b, pa.array(idx))
-            ok = pc.and_(pc.string_is_ascii(sub_a), pc.string_is_ascii(sub_b))
-            if not pc.min(ok).as_py():
-                keep = pc.fill_null(ok, False).to_numpy(zero_copy_only=False)
-                slow = idx[~keep]
-                idx = idx[keep]
-                if idx.size == 0:
-                    return slow
-                sub_a = pc.take(a, pa.array(idx))
-                sub_b = pc.take(b, pa.array(idx))
-            else:
-                slow = idx[:0]
-
-            def _padmat(arr):
-                arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
-                odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
-                off = np.frombuffer(arr.buffers()[1], dtype=odt)[
-                    arr.offset : arr.offset + len(arr) + 1
-                ]
-                buf = arr.buffers()[2]
-                data = (
-                    np.frombuffer(buf, dtype=np.uint8)
-                    if buf is not None
-                    else np.zeros(0, dtype=np.uint8)
-                )
-                lens = (off[1:] - off[:-1]).astype(np.int64)
-                width = int(lens.max()) if len(lens) else 0
-                mat = np.zeros((len(arr), width), dtype=np.uint8)
-                if width:
-                    pos = np.arange(width)[None, :]
-                    m = pos < lens[:, None]
-                    mat[m] = data[(off[:-1, None] + pos)[m]]
-                return mat, lens
-
-            ma, la = _padmat(sub_a)
-            mb, lb = _padmat(sub_b)
-            k = len(la)
-            wa, wb = ma.shape[1], mb.shape[1]
-            # dp over j=0..wb for each prefix length i of a; capture the
-            # row-appropriate cell (la, lb) as i passes each row's la
-            dp = np.tile(np.arange(wb + 1, dtype=np.int32), (k, 1))
-            res = dp[np.arange(k), lb]  # i == 0 rows (la == 0)
-            for i in range(1, wa + 1):
-                prev = dp
-                dp = np.empty_like(prev)
-                dp[:, 0] = i
-                ca = ma[:, i - 1][:, None]
-                sub = prev[:, :-1] + (ca != mb).astype(np.int32)
-                np.minimum(sub, prev[:, 1:] + 1, out=sub)
-                # left-to-right carry for the insertion term
-                for j in range(1, wb + 1):
-                    dp[:, j] = np.minimum(sub[:, j - 1], dp[:, j - 1] + 1)
-                hit = la == i
-                if hit.any():
-                    res = np.where(hit, dp[np.arange(k), lb], res)
-            mx = np.maximum(la, lb).astype(np.float64)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                ratio = np.where(mx > 0, 1.0 - res / mx, np.nan)
-            out[idx] = ratio
-            return slow
-
-        def _py_rows(out, valid, ua, ub, idx, cache, fn):
-            """Fill out[idx] with fn over the (string) pairs at idx,
-            via the process-persistent cache."""
-            if idx.size == 0:
-                return
-            sa = pc.take(ua, pa.array(idx)).to_pylist()
-            sb = pc.take(ub, pa.array(idx)).to_pylist()
-            nan = float("nan")
-            for j, (x, y) in zip(idx, zip(sa, sb)):
-                k = (x, y)
-                v = cache.get(k)
-                if v is None:
-                    v = fn(x, y)
-                    if v is None:  # kernel says "null" (e.g. 0/0)
-                        v = nan
-                    cache[k] = v
-                out[j] = v
-
-        def _name_sim(a, b, cache, fn):
-            """None if either null; upper-equal -> 1.0 ('' -> 0.0);
-            else memoized fn(upper(a), upper(b))."""
-            ua, ub = pc.utf8_upper(a), pc.utf8_upper(b)
-            valid = pc.and_(a.is_valid(), b.is_valid()).to_numpy(zero_copy_only=False)
-            eq = pc.fill_null(pc.equal(ua, ub), False).to_numpy(zero_copy_only=False)
-            nonempty = pc.fill_null(pc.greater(pc.utf8_length(ua), 0), False).to_numpy(
-                zero_copy_only=False
-            )
-            out = np.zeros(len(valid), dtype="float64")
-            out[eq & nonempty] = 1.0
-            idx = np.nonzero(valid & ~eq)[0]
-            _py_rows(out, valid, ua, ub, idx, cache, fn)
-            return out, valid
-
-        def _lev_sim(a, b, cache):
-            """None if either null; else 1 - lev/max(len) (equal -> 1.0,
-            both-empty -> None, mirroring Spark's null for x/0)."""
-            valid = pc.and_(a.is_valid(), b.is_valid()).to_numpy(zero_copy_only=False)
-            eq = pc.fill_null(pc.equal(a, b), False).to_numpy(zero_copy_only=False)
-            nonempty = pc.fill_null(pc.greater(pc.utf8_length(a), 0), False).to_numpy(
-                zero_copy_only=False
-            )
-            out = np.zeros(len(valid), dtype="float64")
-            out[eq & nonempty] = 1.0
-            valid = valid & (~eq | nonempty)  # both-empty -> null (x/0)
-            idx = np.nonzero(valid & ~eq)[0]
-            slow = _batch_lev_ratio(out, a, b, idx)
-
-            def lev_ratio(x, y):
-                m = max(len(x), len(y))
-                return 1.0 - S.levenshtein(x, y) / m if m else None
-
-            _py_rows(out, valid, a, b, slow, cache, lev_ratio)
-            return out, valid
-
-        def _dob_sim(a, b, cache):
-            """Equal or month/day-swapped -> 1.0; else 1 - lev/max(len)."""
-            valid = pc.and_(a.is_valid(), b.is_valid()).to_numpy(zero_copy_only=False)
-            swapped = pc.binary_join_element_wise(
-                pc.utf8_slice_codeunits(a, 0, 4),
-                pc.utf8_slice_codeunits(a, 6, 8),
-                pc.utf8_slice_codeunits(a, 4, 6),
-                "",
-            )
-            eq = pc.fill_null(
-                pc.or_(pc.equal(a, b), pc.equal(swapped, b)), False
-            ).to_numpy(zero_copy_only=False)
-            out = np.zeros(len(valid), dtype="float64")
-            out[eq] = 1.0
-            idx = np.nonzero(valid & ~eq)[0]
-            slow = _batch_lev_ratio(out, a, b, idx)
-
-            def lev_ratio(x, y):
-                m = max(len(x), len(y))
-                return 1.0 - S.levenshtein(x, y) / m if m else None
-
-            _py_rows(out, valid, a, b, slow, cache, lev_ratio)
-            return out, valid
-
+        tbl = b.value
+        index = pd.Index(tbl.column(id_col).to_numpy(zero_copy_only=False))
+        rec_cols = {c: tbl.column(c).combine_chunks() for c in attach}
+        compute = _make_sim_engine(families, specs)
         for rb in batches:
-            n = rb.num_rows
-            col = {name: rb.column(i) for i, name in enumerate(in_names)}
-            if len(S._JW_CACHE) > S._CACHE_MAX:
-                S._JW_CACHE.clear()
-            if len(S._LEV_CACHE) > S._CACHE_MAX:
-                S._LEV_CACHE.clear()
-            fs_cache = S._FIRST_SIM_CACHES.setdefault(fam_token, {})
-            if len(fs_cache) > S._CACHE_MAX:
-                fs_cache.clear()
-            sims: "list[tuple[np.ndarray, np.ndarray, float]]" = []
-            arrays = list(rb.columns)
-            names = list(in_names)
-            for name, kind, weight in specs:
-                a, b = col[f"l_{name}"], col[f"r_{name}"]
-                if kind == "jw" and name == "first_name":
-                    out, valid = _name_sim(a, b, fs_cache, lambda x, y: pair_sim(str(x), str(y)))
-                elif kind == "jw":
-                    out, valid = _name_sim(a, b, S._JW_CACHE, lambda x, y: S.jaro_winkler(str(x), str(y)))
-                elif kind == "dob":
-                    out, valid = _dob_sim(a, b, S._LEV_CACHE)
-                elif kind == "lev":
-                    out, valid = _lev_sim(a, b, S._LEV_CACHE)
-                else:
-                    eqv = pc.equal(a, b)
-                    valid = eqv.is_valid().to_numpy(zero_copy_only=False)
-                    out = pc.cast(pc.fill_null(eqv, False), pa.float64()).to_numpy(
-                        zero_copy_only=False
-                    )
-                # a python kernel returning None marks the row null
-                nan = np.isnan(out)
-                if nan.any():
-                    valid = valid & ~nan
-                sims.append((out, valid, weight))
-                arrays.append(pa.array(out, type=pa.float64(), mask=~valid))
-                names.append(f"sim_{name}")
-            num = np.zeros(n, dtype="float64")
-            den = np.zeros(n, dtype="float64")
-            for out, valid, weight in sims:
-                num += np.where(valid, out * weight, 0.0)
-                den += np.where(valid, weight, 0.0)
-            score = np.where(den > 0, num / np.where(den > 0, den, 1.0), 0.0)
-            arrays.append(pa.array(score, type=pa.float64()))
-            names.append("score")
-            yield pa.RecordBatch.from_arrays(arrays, names=names)
+            ids_l, ids_r = rb.column(i_l), rb.column(i_r)
+            take_l = index.get_indexer(ids_l.to_numpy(zero_copy_only=False))
+            take_r = index.get_indexer(ids_r.to_numpy(zero_copy_only=False))
+            if (take_l < 0).any() or (take_r < 0).any():
+                raise ValueError("pair id not present in broadcast records table")
+            tl, tr = pa.array(take_l), pa.array(take_r)
+            col = {}
+            arrays = [ids_l, ids_r]
+            names = ["id_l", "id_r"]
+            for side, tk in (("l", tl), ("r", tr)):
+                for c in attach:
+                    arr = pc.take(rec_cols[c], tk)
+                    col[f"{side}_{c}"] = arr
+                    arrays.append(arr)
+                    names.append(f"{side}_{c}")
+            add_arrays, add_names = compute(col, rb.num_rows)
+            yield _pa_batch(arrays + add_arrays, names + add_names)
 
-    return pairs_with_fields.mapInArrow(_score_batches, out_schema)
+    return pairs.select("id_l", "id_r").mapInArrow(_fused_batches, out_schema)
 
 
 def swap_month_day(dob: Column) -> Column:

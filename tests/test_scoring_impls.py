@@ -61,6 +61,31 @@ def test_arrow_and_udf_scorers_identical(wide):
                 assert math.isclose(x, y, rel_tol=0, abs_tol=0), (key, col, x, y)
 
 
+def test_fused_broadcast_scorer_matches_join_path(spark):
+    fields = ["first_name", "last_name", "dob", "ssn_digits", "zipcode", "city", "sex", "middle"]
+    recs = []
+    for i, r in enumerate(_rows()):
+        (il, ir, lf, rf, ll, rl, ld, rd, ls, rs, lz, rz, lc, rc, lx, rx, lm, rm) = r
+        recs.append((2 * i, lf, ll, ld, ls, lz, lc, lx, lm))
+        recs.append((2 * i + 1, rf, rl, rd, rs, rz, rc, rx, rm))
+    records = spark.createDataFrame(recs, ["record_id"] + fields)
+    pairs = spark.createDataFrame(
+        [(2 * i, 2 * i + 1) for i in range(len(_rows()))], ["id_l", "id_r"]
+    )
+    fused = scoring.score_pairs_fused(spark, pairs, records, fields)
+    joined = scoring.score_pairs_arrow(
+        scoring.attach_pair_fields(pairs, records, fields)
+    )
+    f = {(r["id_l"], r["id_r"]): r.asDict() for r in fused.collect()}
+    j = {(r["id_l"], r["id_r"]): r.asDict() for r in joined.collect()}
+    assert f.keys() == j.keys()
+    for key in f:
+        for col in f[key]:
+            assert f[key][col] == j[key][col] or (
+                f[key][col] is None and j[key][col] is None
+            ), (key, col, f[key][col], j[key][col])
+
+
 def test_arrow_scorer_known_values(wide):
     a = _collect(scoring.score_pairs_arrow(wide))
     # equal non-empty strings -> 1.0; both-empty names -> 0.0
