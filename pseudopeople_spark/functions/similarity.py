@@ -135,8 +135,11 @@ def levenshtein(s1: str, s2: str) -> int:
 
 def family_cache_token(families: "dict[str, frozenset]") -> str:
     """Cache namespace per distinct families table (tests may pass
-    custom tables; keys distinguish them)."""
-    return f"{len(families)}:{hash(frozenset(families))}"
+    custom tables; keys distinguish them). Hashes the ITEMS, not just
+    the keys — two tables with identical names but different family
+    memberships must not share a namespace and serve each other stale
+    sims (values are frozensets, so items are hashable)."""
+    return f"{len(families)}:{hash(frozenset(families.items()))}"
 
 
 def make_pair_sim(families: "dict[str, frozenset]"):
@@ -159,6 +162,10 @@ def make_pair_sim(families: "dict[str, frozenset]"):
 
     def _variant_best(va: frozenset, vb: frozenset) -> float:
         cache = _FAMBEST_CACHES.setdefault(fam_token, {})
+        if len(cache) > _CACHE_MAX:
+            # same bound as every other process-persistent memo: reused
+            # python workers must not grow this without limit
+            cache.clear()
         k = (va, vb)
         best = cache.get(k)
         if best is None:

@@ -455,6 +455,12 @@ def _make_sim_engine(families, specs):
     return compute
 
 
+# single live records broadcast per process (see score_pairs_fused
+# docstring: prevents one leaked GB-scale broadcast per resolve() call
+# in a long-lived session)
+_LIVE_REC_BROADCAST = None
+
+
 def score_pairs_fused(
     spark,
     pairs: DataFrame,
@@ -478,11 +484,29 @@ def score_pairs_fused(
 
     Output schema and values are identical to
     attach_pair_fields(...) |> score_pairs_arrow(...) (asserted by
-    tests/test_scoring_impls.py)."""
+    tests/test_scoring_impls.py).
+
+    Driver memory: the records projection is collected to the driver
+    (toArrow) and broadcast — at the default 5M-record
+    broadcast_score_limit that is up to ~500MB of driver heap, which
+    the caller's driver must be sized for (resolve() documents this on
+    ResolveConfig.broadcast_score_limit). The broadcast is held in a
+    single module-level slot: a long-lived session that calls
+    resolve() repeatedly destroys the PREVIOUS call's broadcast when
+    the next one is created, so at most one records broadcast is live
+    per process (the returned DataFrame is lazy, so the current one
+    cannot be destroyed eagerly here)."""
     from pyspark.sql import types as T
 
     rec_tbl = records.select(id_col, *attach).toArrow()
+    global _LIVE_REC_BROADCAST
+    if _LIVE_REC_BROADCAST is not None:
+        try:
+            _LIVE_REC_BROADCAST.destroy()
+        except Exception:
+            pass  # session that created it may already be stopped
     b = spark.sparkContext.broadcast(rec_tbl)
+    _LIVE_REC_BROADCAST = b
     rec_schema = {f.name: f.dataType for f in records.select(id_col, *attach).schema.fields}
     pair_fields = list(pairs.select("id_l", "id_r").schema.fields)
     out_schema = T.StructType(
@@ -493,8 +517,11 @@ def score_pairs_fused(
     )
     specs = [(s.name, s.kind, s.weight) for s in fields]
     families = _nickname_families()
-    in_names = [f.name for f in pairs.schema.fields]
-    i_l, i_r = in_names.index("id_l"), in_names.index("id_r")
+    # the batches mapInArrow sees come from the 2-column projection
+    # below, NOT pairs' full schema — derive the column positions from
+    # that projection so extra/reordered pair columns can't misindex
+    cand = pairs.select("id_l", "id_r")
+    i_l, i_r = 0, 1
 
     def _fused_batches(batches):
         import pandas as pd
@@ -524,7 +551,7 @@ def score_pairs_fused(
             add_arrays, add_names = compute(col, rb.num_rows)
             yield _pa_batch(arrays + add_arrays, names + add_names)
 
-    return pairs.select("id_l", "id_r").mapInArrow(_fused_batches, out_schema)
+    return cand.mapInArrow(_fused_batches, out_schema)
 
 
 def swap_month_day(dob: Column) -> Column:

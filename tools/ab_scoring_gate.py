@@ -54,6 +54,10 @@ def build(n: int, mod: int) -> None:
 
 def leg(gate: str, cores: int) -> None:
     os.environ["PP_SCORING_JVM_GATE"] = gate
+    # score_pairs defaults to the mapInArrow plan, which never touches
+    # _py_gated — force the UDF plan so the gate toggle actually selects
+    # between the two plan shapes this tool exists to compare.
+    os.environ["PP_SCORING_IMPL"] = "udf"
     from pseudopeople_spark.linkage import scoring
     from pseudopeople_spark.session import get_spark
 
