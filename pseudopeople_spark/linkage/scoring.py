@@ -523,22 +523,62 @@ def score_pairs_fused(
     cand = pairs.select("id_l", "id_r")
     i_l, i_r = 0, 1
 
+    return cand.mapInArrow(
+        make_fused_batches(b, id_col, attach, specs, families, i_l, i_r),
+        out_schema,
+    )
+
+
+# Per-phase wall-clock accumulators for the fused scorer, updated by
+# every worker batch (two perf_counter calls per phase per 20k-row
+# batch — noise). Read by tools/profile_scoring.py --inproc, where the
+# generator runs driver-side; in real Spark runs each python worker
+# accumulates its own copy (not collected).
+PHASE_SECONDS: "dict[str, float]" = {"lookup": 0.0, "take": 0.0, "sims": 0.0, "emit": 0.0}
+
+# Single-slot per-worker cache of the broadcast records table's
+# decoded lookup structures (pd.Index over the id column + chunk-
+# combined field arrays). Building these cost ~100ms per TASK before
+# (one pd.Index hash table over 745k ids per task); python workers are
+# reused across tasks (spark.python.worker.reuse) and at most one
+# records broadcast is live per process (_LIVE_REC_BROADCAST), so a
+# single identity-keyed slot gives a per-WORKER build instead.
+_FUSED_REC_CACHE: "dict[str, object]" = {"tbl": None}
+
+
+def make_fused_batches(b, id_col, attach, specs, families, i_l, i_r):
+    """Worker-side generator factory for score_pairs_fused — module
+    level so tools/profile_scoring.py can drive it in-process over
+    pyarrow batches without a SparkSession."""
+
     def _fused_batches(batches):
+        from time import perf_counter
+
         import pandas as pd
         import pyarrow as pa
         import pyarrow.compute as pc
 
+        from pseudopeople_spark.linkage import scoring as _S
+
+        ph = _S.PHASE_SECONDS
         tbl = b.value
-        index = pd.Index(tbl.column(id_col).to_numpy(zero_copy_only=False))
-        rec_cols = {c: tbl.column(c).combine_chunks() for c in attach}
+        cache = _S._FUSED_REC_CACHE
+        if cache.get("tbl") is not tbl:
+            cache["tbl"] = tbl
+            cache["index"] = pd.Index(tbl.column(id_col).to_numpy(zero_copy_only=False))
+            cache["cols"] = {c: tbl.column(c).combine_chunks() for c in attach}
+        index = cache["index"]
+        rec_cols = cache["cols"]
         compute = _make_sim_engine(families, specs)
         for rb in batches:
+            t0 = perf_counter()
             ids_l, ids_r = rb.column(i_l), rb.column(i_r)
             take_l = index.get_indexer(ids_l.to_numpy(zero_copy_only=False))
             take_r = index.get_indexer(ids_r.to_numpy(zero_copy_only=False))
             if (take_l < 0).any() or (take_r < 0).any():
                 raise ValueError("pair id not present in broadcast records table")
             tl, tr = pa.array(take_l), pa.array(take_r)
+            t1 = perf_counter()
             col = {}
             arrays = [ids_l, ids_r]
             names = ["id_l", "id_r"]
@@ -548,10 +588,18 @@ def score_pairs_fused(
                     col[f"{side}_{c}"] = arr
                     arrays.append(arr)
                     names.append(f"{side}_{c}")
+            t2 = perf_counter()
             add_arrays, add_names = compute(col, rb.num_rows)
-            yield _pa_batch(arrays + add_arrays, names + add_names)
+            t3 = perf_counter()
+            out = _pa_batch(arrays + add_arrays, names + add_names)
+            t4 = perf_counter()
+            ph["lookup"] += t1 - t0
+            ph["take"] += t2 - t1
+            ph["sims"] += t3 - t2
+            ph["emit"] += t4 - t3
+            yield out
 
-    return cand.mapInArrow(_fused_batches, out_schema)
+    return _fused_batches
 
 
 def swap_month_day(dob: Column) -> Column:

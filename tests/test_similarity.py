@@ -124,3 +124,37 @@ def test_same_dataset_veto_scoped_to_period(spark):
     assert got["a"] is True, "cross-period same-dataset pair must not be hard-vetoed"
     assert got["c"] is False, "same-period pair stays vetoed"
     assert got["e"] is False, "null periods keep the whole-dataset veto"
+
+
+def test_cross_best_equals_naive_cross_product():
+    """_cross_best (bound-pruned, memoized) must be value-identical to
+    the naive max over the family cross-product of
+    1 - levenshtein/max(len) — including non-ASCII names, empty
+    strings (ratio 0.0 by contract, pruned up front), and the >=0.93
+    early stop (its only consumer caps the result at 0.93, so any
+    early-stopped value must still compare equal after min(.,0.93))."""
+    from pseudopeople_spark.functions.similarity import _cross_best, levenshtein
+
+    rng = random.Random(7)
+    pool = [
+        "", "JOHN", "JON", "JOHNNY", "JONATHAN", "J", "JOSE", "JOSÉ",
+        "KATHERINE", "KATE", "KATIE", "CATHERINE", "KIT", "ÅSA", "ASA",
+        "ELIZABETH", "LIZ", "BETH", "BETSY", "ZZZZZZ", "QQ",
+    ]
+
+    def naive(va, vb):
+        best = 0.0
+        for x in va:
+            for y in vb:
+                m = max(len(x), len(y))
+                if m:
+                    best = max(best, 1.0 - levenshtein(x, y) / m)
+        return best
+
+    for _ in range(200):
+        va = frozenset(rng.sample(pool, rng.randint(1, 6)))
+        vb = frozenset(rng.sample(pool, rng.randint(1, 6)))
+        got, want = _cross_best(va, vb), naive(va, vb)
+        assert min(got, 0.93) == min(want, 0.93), (sorted(va), sorted(vb), got, want)
+        if want < 0.93:
+            assert got == want, (sorted(va), sorted(vb), got, want)
