@@ -344,12 +344,20 @@ def resolve(
     def _scored() -> DataFrame:
         import os
 
-        attach = CANONICAL_FIELDS + ["base_rid"]
+        # state is normalized into records for blocking but no sim spec
+        # and no tier of the match cascade reads it — attaching it here
+        # would cost a lookup + 2 emitted string columns per pair
+        attach = [c for c in CANONICAL_FIELDS if c != "state"] + ["base_rid"]
+        # tiered_match reads only these attach VALUES (the rest matter
+        # only through their sims): ssn consensus + first_missing +
+        # byear evidence + the same-dataset-period veto + the dup-twin
+        # exemption. Everything else is dead Python->JVM bytes.
+        emit = ["dataset", "period", "first_name", "byear", "ssn_digits", "base_rid"]
         if (
             n_records <= cfg.broadcast_score_limit
             and os.environ.get("PP_SCORING_IMPL", "arrow") == "arrow"
         ):
-            out = scoring.score_pairs_fused(spark, cand, records, attach)
+            out = scoring.score_pairs_fused(spark, cand, records, attach, emit_attach=emit)
         else:
             out = scoring.score_pairs(scoring.attach_pair_fields(cand, records, attach))
         # Fuse the match decision into the same pass: is_match is pure

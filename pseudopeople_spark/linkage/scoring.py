@@ -468,6 +468,7 @@ def score_pairs_fused(
     attach: "list[str]",
     fields: "tuple[FieldSpec, ...]" = DEFAULT_FIELDS,
     id_col: str = "record_id",
+    emit_attach: "list[str] | None" = None,
 ) -> DataFrame:
     """Fused attach+score: one mapInArrow pass over the BARE pair ids,
     with the record fields looked up worker-side from a broadcast of
@@ -495,7 +496,18 @@ def score_pairs_fused(
     resolve() repeatedly destroys the PREVIOUS call's broadcast when
     the next one is created, so at most one records broadcast is live
     per process (the returned DataFrame is lazy, so the current one
-    cannot be destroyed eagerly here)."""
+    cannot be destroyed eagerly here).
+
+    ``emit_attach`` (default: all of ``attach``) restricts which
+    attach-VALUE columns the worker sends back to the JVM. All of
+    ``attach`` is still looked up worker-side (the sims need it), but
+    columns no downstream consumer reads — last_name/dob/city/... once
+    their sims are computed — are pure Python→JVM Arrow-stream bytes.
+    Catalyst cannot prune a mapInArrow's output into the Python
+    process, so the trim must happen here. At 42M pairs the full
+    l_*/r_* string set is ~2x the emitted bytes of the consumed set,
+    and that stream crosses a local socket per batch — non-scaling
+    wall on the scoring stage's critical path."""
     from pyspark.sql import types as T
 
     rec_tbl = records.select(id_col, *attach).toArrow()
@@ -507,11 +519,17 @@ def score_pairs_fused(
             pass  # session that created it may already be stopped
     b = spark.sparkContext.broadcast(rec_tbl)
     _LIVE_REC_BROADCAST = b
+    if emit_attach is None:
+        emit_attach = attach
+    else:
+        missing = [c for c in emit_attach if c not in attach]
+        if missing:
+            raise ValueError(f"emit_attach columns not in attach: {missing}")
     rec_schema = {f.name: f.dataType for f in records.select(id_col, *attach).schema.fields}
     pair_fields = list(pairs.select("id_l", "id_r").schema.fields)
     out_schema = T.StructType(
         pair_fields
-        + [T.StructField(f"{side}_{c}", rec_schema[c]) for side in ("l", "r") for c in attach]
+        + [T.StructField(f"{side}_{c}", rec_schema[c]) for side in ("l", "r") for c in emit_attach]
         + [T.StructField(f"sim_{s.name}", T.DoubleType()) for s in fields]
         + [T.StructField("score", T.DoubleType())]
     )
@@ -524,7 +542,7 @@ def score_pairs_fused(
     i_l, i_r = 0, 1
 
     return cand.mapInArrow(
-        make_fused_batches(b, id_col, attach, specs, families, i_l, i_r),
+        make_fused_batches(b, id_col, attach, specs, families, i_l, i_r, emit_attach),
         out_schema,
     )
 
@@ -546,10 +564,18 @@ PHASE_SECONDS: "dict[str, float]" = {"lookup": 0.0, "take": 0.0, "sims": 0.0, "e
 _FUSED_REC_CACHE: "dict[str, object]" = {"tbl": None}
 
 
-def make_fused_batches(b, id_col, attach, specs, families, i_l, i_r):
+def make_fused_batches(b, id_col, attach, specs, families, i_l, i_r, emit_attach=None):
     """Worker-side generator factory for score_pairs_fused — module
     level so tools/profile_scoring.py can drive it in-process over
-    pyarrow batches without a SparkSession."""
+    pyarrow batches without a SparkSession. ``emit_attach`` (default:
+    all of ``attach``) selects which looked-up value columns are sent
+    back to the JVM; the rest exist only as sim inputs."""
+    if emit_attach is None:
+        emit_attach = attach
+    # look up only what the sims read or the JVM receives — an attach
+    # column that is neither (e.g. one kept for the fallback join
+    # path's symmetry) costs a pc.take per side per batch otherwise
+    lookup = [c for c in attach if c in {s[0] for s in specs} | set(emit_attach)]
 
     def _fused_batches(batches):
         from time import perf_counter
@@ -566,7 +592,7 @@ def make_fused_batches(b, id_col, attach, specs, families, i_l, i_r):
         if cache.get("tbl") is not tbl:
             cache["tbl"] = tbl
             cache["index"] = pd.Index(tbl.column(id_col).to_numpy(zero_copy_only=False))
-            cache["cols"] = {c: tbl.column(c).combine_chunks() for c in attach}
+            cache["cols"] = {c: tbl.column(c).combine_chunks() for c in lookup}
         index = cache["index"]
         rec_cols = cache["cols"]
         compute = _make_sim_engine(families, specs)
@@ -583,10 +609,10 @@ def make_fused_batches(b, id_col, attach, specs, families, i_l, i_r):
             arrays = [ids_l, ids_r]
             names = ["id_l", "id_r"]
             for side, tk in (("l", tl), ("r", tr)):
-                for c in attach:
-                    arr = pc.take(rec_cols[c], tk)
-                    col[f"{side}_{c}"] = arr
-                    arrays.append(arr)
+                for c in lookup:
+                    col[f"{side}_{c}"] = pc.take(rec_cols[c], tk)
+                for c in emit_attach:
+                    arrays.append(col[f"{side}_{c}"])
                     names.append(f"{side}_{c}")
             t2 = perf_counter()
             add_arrays, add_names = compute(col, rb.num_rows)

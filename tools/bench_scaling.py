@@ -65,6 +65,10 @@ def _input_path(n: int) -> str:
     return os.path.join(INPUT_DIR, f"records_{n}")
 
 
+def _truth_path(n: int) -> str:
+    return os.path.join(INPUT_DIR, f"truth_{n}")
+
+
 def prepare(n: int) -> None:
     """Build the deterministic noised+normalized input once and write
     it to parquet (partition-invariant: CRN is keyed on record ids)."""
@@ -89,6 +93,14 @@ def prepare(n: int) -> None:
     ns = normalize_records(ssa, "ssa", "yyyyMMdd", dob_fallback="event_date", period_col="event_type")
     records = nc.unionByName(nw).unionByName(ns)
     records.write.mode("overwrite").parquet(_input_path(n))
+    # ground-truth labels (simulant_id is never noised — the truth
+    # deck); used OFF the clock for pairwise F1 + blocking recall
+    truth = (
+        census.select("record_id", "simulant_id")
+        .unionByName(w2.select("record_id", "simulant_id"))
+        .unionByName(ssa.select("record_id", "simulant_id"))
+    )
+    truth.write.mode("overwrite").parquet(_truth_path(n))
     spark.stop()
 
 
@@ -181,6 +193,39 @@ def worker(cores: int, n: int) -> None:
     th.join(timeout=2)
     med = statistics.median(samples) if samples else _loadavg()
     stage = res["stage_seconds"]
+    # Quality at THIS scale, computed OFF the clock (after the timed
+    # region — metrics joins must not pollute the scaling walls).
+    # Pairwise F1 is the north rule's metric (labeled pairs within the
+    # same blocking key); blocking recall is the component that can
+    # degrade with scale (pairs never compared can never be matched).
+    quality = None
+    if os.path.exists(os.path.join(_truth_path(n), "_SUCCESS")):
+        from pyspark.sql import functions as F
+
+        from pseudopeople_spark.linkage.metrics import (
+            blocking_recall, pairwise_f1_on_candidates,
+        )
+
+        mapping = res["id_mapping"]
+        truth_rid = (
+            spark.read.parquet(_truth_path(n))
+            .join(mapping, "record_id")
+            .select(F.col("rid").alias("record_id"), "simulant_id")
+        )
+        asg_rid = (
+            res["assignments"]
+            .join(mapping, "record_id")
+            .select(F.col("rid").alias("record_id"), "cluster_id")
+        )
+        f1 = pairwise_f1_on_candidates(res["pairs"], asg_rid, truth_rid)
+        br = blocking_recall(res["pairs"], truth_rid)
+        quality = {
+            "pairwise_f1": round(f1["f1"], 5),
+            "precision": round(f1["precision"], 5),
+            "recall": round(f1["recall"], 5),
+            "blocking_recall": round(br["recall"], 5),
+            "true_pairs": br["true_pairs"],
+        }
     print(json.dumps({
         "cores": cores,
         "n_simulants": n,
@@ -192,6 +237,7 @@ def worker(cores: int, n: int) -> None:
         "scoring_sec": stage.get("scoring"),
         "scoring_pairs_per_sec": round(n_pairs / stage["scoring"], 1) if stage.get("scoring") else None,
         "stage_seconds": stage,
+        "quality": quality,
         "snb_partition_hist": snb_hist,
         "load_median": round(med, 2),
         "own_cores_avg": round(own_cores, 2),
@@ -215,7 +261,10 @@ def main() -> None:
     hi = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     max_attempts = int(sys.argv[4]) if len(sys.argv) > 4 else 4
 
-    if not os.path.exists(os.path.join(_input_path(n), "_SUCCESS")):
+    if not (
+        os.path.exists(os.path.join(_input_path(n), "_SUCCESS"))
+        and os.path.exists(os.path.join(_truth_path(n), "_SUCCESS"))
+    ):
         sys.stderr.write(f"[scaling] preparing input ({n} simulants)\n")
         subprocess.run([sys.executable, __file__, "--prepare", str(n)], check=True, cwd=REPO)
 
@@ -363,7 +412,15 @@ def main() -> None:
                f"{eff_scoring:.3f}**\n\n" if eff_scoring else "")
             + f"**End-to-end efficiency relative to the machine's pure-compute ceiling: {eff / ceiling:.3f}**\n\n"
             + f"Ceiling source: {ceiling_src}.\n\n"
-            f"Sorted-neighborhood window-partition skew (2-char sort-key prefix): "
+            + (
+                f"**Quality at this scale ({n:,} simulants), computed off the clock:** "
+                f"pairwise F1 = {b_hi['quality']['pairwise_f1']} "
+                f"(precision {b_hi['quality']['precision']}, recall {b_hi['quality']['recall']}), "
+                f"blocking recall = {b_hi['quality']['blocking_recall']} over "
+                f"{b_hi['quality']['true_pairs']:,} true pairs.\n\n"
+                if b_hi.get("quality") else ""
+            )
+            + f"Sorted-neighborhood window-partition skew (2-char sort-key prefix): "
             f"`{b_hi.get('snb_partition_hist')}` — the max-share column is the Amdahl bound on\n"
             f"that window stage; a longer prefix (26x more partitions per char) is the escalation\n"
             f"path when the head partition's ABSOLUTE size outgrows a task.\n\n"

@@ -148,17 +148,21 @@ def leg(cores: int, n: int) -> None:
     # repartition pairs like resolve()'s dedup exchange leaves them
     pairs = spark.read.parquet(_pairs_path(n))
     n_pairs = pairs.count()
-    n_parts = max(cores, -(-n_pairs // 250_000))
+    per_part = int(os.environ.get("PP_PROFILE_PAIRS_PER_PART", "250000"))
+    n_parts = max(cores, -(-n_pairs // per_part))
     pairs = pairs.repartition(n_parts, "id_l").localCheckpoint()
-    attach = CANONICAL_FIELDS + ["base_rid"]
+    attach = [c for c in CANONICAL_FIELDS if c != "state"] + ["base_rid"]
+    emit = ["dataset", "period", "first_name", "byear", "ssn_digits", "base_rid"]
     t0 = time.time()
-    out = scoring.score_pairs_fused(spark, pairs, records, attach)
+    out = scoring.score_pairs_fused(spark, pairs, records, attach, emit_attach=emit)
+    t_setup = time.time() - t0  # toArrow collect + broadcast (eager part)
     out = scoring.tiered_match(out, cfg.threshold, same_dataset_distinct=True)
     keep = ["id_l", "id_r", "score", "is_match", "l_ssn_digits", "r_ssn_digits"]
     out.select(*keep).write.mode("overwrite").format("noop").save()
     wall = round(time.time() - t0, 2)
     print(json.dumps({
         "cores": cores, "n": n, "pairs": n_pairs, "scoring_sec": wall,
+        "setup_sec": round(t_setup, 2), "n_parts": n_parts,
         "pairs_per_sec": round(n_pairs / wall, 1),
     }))
     spark.stop()
