@@ -447,8 +447,10 @@ def noise_duplicate_row(spark, sf_dir):
 # Each derives its demographic/identity columns deterministically from
 # c_custkey with IDENTICAL integer/double arithmetic in both engines, so
 # the DuckDB replay is bit-exact. The 3 token kernels (phonetic / OCR /
-# typo) stay pytest-only: they are procedural per-character scans over
-# a 356-rule table — their spec lives in tests/test_kernels.py.
+# typo) are procedural per-character scans over a 356-rule table; their
+# full-table spec lives in tests/test_kernels.py, and the scan ALGORITHM
+# itself is oracled on a bounded instance (noise_phonetic_bounded below:
+# real kernel code path, draws replayed by an 8-step CTE unroll).
 # --------------------------------------------------------------------------
 
 def _copy_household_oracle() -> str:
@@ -775,6 +777,102 @@ def noise_duplicate_guardian(spark, sf_dir):
     )
     return rn.duplicate_with_guardian(
         df, "rid", p_under_18=0.3, p_college=0.6, seed=SEED, u01=portable_u01
+    )
+
+
+# --------------------------------------------------------------------------
+# bounded token-kernel oracle: the phonetic/OCR/typo scan is procedural
+# (per-character, longest-match-first, variable advance) and cannot be
+# one SQL expression over the full 356-rule ANU table — but the SCAN
+# ALGORITHM itself is replayable when the state space is bounded: with
+# names <= 8 chars the position variable takes <= 8 values, so eight
+# chained CTE steps (each one row-wise (pos, out) state update) unroll
+# it exactly. The kernel draws through the portable CRN keyed on
+# (row, position, token-length, which-draw) folded into the integer key,
+# so DuckDB replays every draw bit-for-bit. This oracles the real
+# kernel code path (operators/kernels.py _corrupt_tokens_one), incl.
+# longest-match-first, independent shorter-token retries at the same
+# position, token-length advance, and uniform variant choice.
+# --------------------------------------------------------------------------
+
+_PB_NAMES = ["philip", "thatch", "phoebe", "heath", "pith", "shh", "tophat", "photo"]
+_PB_RULES = {"ph": ("f",), "h": ("b", "d"), "t": ("d",)}
+_PB_TP = 0.35
+
+
+def _pb_draw(row_key: int, i: int, L: int, which: int) -> float:
+    """Portable replica of the kernel's (row, position, token-len,
+    which) draw stream: fold the three small ints into the integer key
+    (i < 8, L in {1,2}, which in {0,1} -> sub < 32) so the SQL side can
+    key the same Lehmer draw on a runtime `pos` column."""
+    from pseudopeople_spark.crn import portable_u01_py
+
+    return portable_u01_py(row_key * 32 + i * 4 + (L - 1) * 2 + which, SEED, "phonetic_bounded")
+
+
+def _pb_oracle() -> str:
+    from pseudopeople_spark.crn import portable_u01_sql
+
+    name_case = "CASE c_custkey % 8 " + " ".join(
+        f"WHEN {i} THEN '{nm}'" for i, nm in enumerate(_PB_NAMES)
+    ) + " END"
+    # i = pos - 1 (SQL is 1-indexed); sub = i*4 + (L-1)*2 + which
+    u_ph = portable_u01_sql("c_custkey * 32 + (pos - 1) * 4 + 2", SEED, "phonetic_bounded")
+    u_1 = portable_u01_sql("c_custkey * 32 + (pos - 1) * 4", SEED, "phonetic_bounded")
+    u_1v = portable_u01_sql("c_custkey * 32 + (pos - 1) * 4 + 1", SEED, "phonetic_bounded")
+    # one scan step: mirrors _corrupt_tokens_one's position loop. 'ph'
+    # (the only 2-char rule) draws first; on failure the 1-char rules
+    # at the SAME position get their own independent draw — safe to
+    # express as a flat CASE because 'p' (the char under the cursor
+    # when a 'ph' draw fails) is itself not a 1-char rule.
+    step_pos = (
+        "CASE WHEN pos > length(name) THEN pos "
+        f"WHEN substr(name, pos, 2) = 'ph' AND {u_ph} < {_PB_TP} THEN pos + 2 "
+        f"WHEN substr(name, pos, 1) IN ('h', 't') AND {u_1} < {_PB_TP} THEN pos + 1 "
+        "ELSE pos + 1 END"
+    )
+    step_out = (
+        "CASE WHEN pos > length(name) THEN out "
+        f"WHEN substr(name, pos, 2) = 'ph' AND {u_ph} < {_PB_TP} THEN out || 'f' "
+        f"WHEN substr(name, pos, 1) = 'h' AND {u_1} < {_PB_TP} "
+        f"THEN out || (CASE WHEN {u_1v} < 0.5 THEN 'b' ELSE 'd' END) "
+        f"WHEN substr(name, pos, 1) = 't' AND {u_1} < {_PB_TP} THEN out || 'd' "
+        "ELSE out || substr(name, pos, 1) END"
+    )
+    steps = ",\n".join(
+        f"s{k} AS (SELECT c_custkey, name, {step_pos} AS pos, {step_out} AS out FROM s{k - 1})"
+        for k in range(1, 9)
+    )
+    return f"""WITH b AS (SELECT c_custkey, {name_case} AS name FROM customer),
+        s0 AS (SELECT c_custkey, name, 1 AS pos, '' AS out FROM b),
+        {steps}
+        SELECT c_custkey, name, out AS noised FROM s8"""
+
+
+@_q("noise_phonetic_bounded", _pb_oracle())
+def noise_phonetic_bounded(spark, sf_dir):
+    """make_phonetic_errors' scan algorithm (reference
+    noise_functions.py:629-672 via _corrupt_tokens :788-929) oracled on
+    a bounded instance: 3 rules ('ph'->f, 'h'->{b,d}, 't'->d), names
+    <= 8 chars, the REAL kernel (_corrupt_tokens_one) with its draws
+    routed through the portable CRN; the DuckDB side unrolls the scan
+    as 8 chained CTE state steps. The full 356-rule ANU table runs the
+    same code path (tests/test_kernels.py enumerates its pathways)."""
+    from pseudopeople_spark.operators.kernels import make_corrupt_tokens_udf
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    k = F.col("c_custkey")
+    name = None
+    for i, nm in enumerate(_PB_NAMES):
+        name = F.when(k % 8 == i, F.lit(nm)) if name is None else name.when(k % 8 == i, F.lit(nm))
+    udf = make_corrupt_tokens_udf(
+        _PB_RULES, token_probability=_PB_TP, seed=SEED,
+        decision="phonetic_bounded", draw=_pb_draw,
+    )
+    df = c.select(k.alias("c_custkey"), name.alias("name"))
+    return df.select(
+        "c_custkey", "name",
+        udf(F.col("c_custkey"), F.lit(True), F.col("name")).alias("noised"),
     )
 
 

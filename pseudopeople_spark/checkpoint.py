@@ -2,9 +2,12 @@
 checkpoint with per-partition lineage + metrics").
 
 Each pipeline stage writes:
-  * its DataFrame as parquet under ``<root>/<stage>/data`` (Iceberg
-    ``writeTo`` when the runtime jar is on the classpath — gated behind
-    an import/config try; parquet is the same bytes underneath),
+  * its DataFrame as parquet under ``<root>/<stage>/data``. (Iceberg
+    ``writeTo`` with a snapshot per stage is the design target on a
+    real cluster — same parquet bytes underneath plus a catalog commit —
+    but the runtime jar is absent in this sandbox, so that path is NOT
+    implemented here; tests/test_iceberg.py documents the gap and will
+    exercise the reader/writer wiring when a jar is present.)
   * a ``_metrics`` parquet with per-partition row counts + stage
     wall-clock + arbitrary stage KPIs (match rates, block histograms),
   * a ``_SUCCESS_STAGE`` JSON manifest (stage name, schema, timestamp,

@@ -88,6 +88,18 @@ def portable_u01_sql(key_expr: str, seed: int, decision: str) -> str:
     return f"(CAST({x2} AS DOUBLE) / {_MINSTD_M}.0)"
 
 
+def portable_u01_py(key: int, seed: int, decision: str) -> float:
+    """Scalar Python replica of :func:`portable_u01` — same two Lehmer
+    steps, same decision mixing. Lets a procedural Arrow kernel (the
+    token-corruption scan) make draws a SQL oracle can replay exactly:
+    the kernel calls this per (row, position) and the oracle unrolls
+    the identical arithmetic per CTE step."""
+    d = _mix_decision(seed, decision)
+    x1 = ((int(key) % _MINSTD_M) * _MINSTD_A + d) % _MINSTD_M
+    x2 = (x1 * _MINSTD_A) % _MINSTD_M
+    return x2 / _MINSTD_M
+
+
 # --------------------------------------------------------------------------
 # numpy-side stateless RNG for Arrow kernels
 # --------------------------------------------------------------------------

@@ -48,6 +48,7 @@ def _corrupt_tokens_one(
     rules: Mapping[str, Sequence[str]],
     max_token_len: int,
     token_probability: float,
+    draw=None,
 ) -> str:
     """One string through the token-corruption scan. At each position
     every eligible token gets its own corruption draw, tried
@@ -55,7 +56,14 @@ def _corrupt_tokens_one(
     SHORTER tokens at the same position still get a chance (the
     reference tries each token length independently,
     noise_functions.py:838-918) — only when every draw at the position
-    fails does the scan advance one character."""
+    fails does the scan advance one character.
+
+    ``draw(row_key, i, L, which)`` (which: 0 = corrupt?, 1 = variant
+    pick) overrides the default splitmix64 stream — used by the
+    SQL-replayable bounded oracle (__spark_entry__.noise_phonetic_
+    bounded), which keys the portable CRN on the same (row, position,
+    token-length, draw) tuple so a chained-CTE unroll replays the scan
+    bit-exactly."""
     out: list[str] = []
     i = 0
     n = len(s)
@@ -66,10 +74,16 @@ def _corrupt_tokens_one(
             cand = s[i : i + L]
             if cand not in rules:
                 continue
-            u = splitmix64_u01([np.uint64(row_key), np.uint64(i), pos_salt + np.uint64(2 * L)])
+            if draw is not None:
+                u = draw(row_key, i, L, 0)
+            else:
+                u = splitmix64_u01([np.uint64(row_key), np.uint64(i), pos_salt + np.uint64(2 * L)])
             if u < token_probability:
                 variants = rules[cand]
-                u2 = splitmix64_u01([np.uint64(row_key), np.uint64(i), pos_salt + np.uint64(2 * L + 1)])
+                if draw is not None:
+                    u2 = draw(row_key, i, L, 1)
+                else:
+                    u2 = splitmix64_u01([np.uint64(row_key), np.uint64(i), pos_salt + np.uint64(2 * L + 1)])
                 out.append(variants[int(u2 * len(variants))])
                 i += L
                 corrupted = True
@@ -85,10 +99,13 @@ def make_corrupt_tokens_udf(
     token_probability: float = 0.1,
     seed: int = 0,
     decision: str = "corrupt_tokens",
+    draw=None,
 ):
     """Factory: token-corruption pandas UDF for a given rule table
     (phonetic variants or OCR confusions). The rule table is captured in
-    the closure (tiny) — cloudpickled once per task, not per row."""
+    the closure (tiny) — cloudpickled once per task, not per row.
+    ``draw`` (optional) overrides the per-draw RNG — see
+    :func:`_corrupt_tokens_one`."""
     max_len = max(len(k) for k in rules)
     salt = _salt(seed, decision)
     frozen = {k: tuple(v) for k, v in rules.items()}
@@ -102,7 +119,10 @@ def make_corrupt_tokens_udf(
             idx = np.nonzero(sel)[0]
             vals = val.to_numpy(dtype=object)
             res = [
-                _corrupt_tokens_one(str(vals[j]), int(keys[j]), salt, frozen, max_len, token_probability)
+                _corrupt_tokens_one(
+                    str(vals[j]), int(keys[j]), salt, frozen, max_len,
+                    token_probability, draw=draw,
+                )
                 for j in idx
             ]
             out.iloc[idx] = res
