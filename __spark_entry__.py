@@ -797,47 +797,68 @@ def noise_duplicate_guardian(spark, sf_dir):
 
 _PB_NAMES = ["philip", "thatch", "phoebe", "heath", "pith", "shh", "tophat", "photo"]
 _PB_RULES = {"ph": ("f",), "h": ("b", "d"), "t": ("d",)}
+_OCR_NAMES = ["barn", "corn", "learn", "lobo", "roll", "onto", "burnt", "halo"]
+_OCR_RULES = {"rn": ("m",), "o": ("0",), "l": ("1", "i")}
 _PB_TP = 0.35
 
 
-def _pb_draw(row_key: int, i: int, L: int, which: int) -> float:
+def _make_scan_draw(decision: str):
     """Portable replica of the kernel's (row, position, token-len,
     which) draw stream: fold the three small ints into the integer key
     (i < 8, L in {1,2}, which in {0,1} -> sub < 32) so the SQL side can
     key the same Lehmer draw on a runtime `pos` column."""
-    from pseudopeople_spark.crn import portable_u01_py
+    def draw(row_key: int, i: int, L: int, which: int) -> float:
+        from pseudopeople_spark.crn import portable_u01_py
 
-    return portable_u01_py(row_key * 32 + i * 4 + (L - 1) * 2 + which, SEED, "phonetic_bounded")
+        return portable_u01_py(
+            row_key * 32 + i * 4 + (L - 1) * 2 + which, SEED, decision
+        )
+
+    return draw
 
 
-def _pb_oracle() -> str:
+def _bounded_scan_oracle(names: list, rules: dict, decision: str) -> str:
+    """Chained-CTE unroll of _corrupt_tokens_one for a rule table with
+    one 2-char rule + 1-char rules (each <= 2 variants) over names
+    <= 8 chars. Structural precondition (asserted): the 2-char token's
+    FIRST character must not itself be a 1-char rule, so the kernel's
+    shorter-token retry after a failed 2-char draw is a no-op and the
+    step is one flat CASE."""
     from pseudopeople_spark.crn import portable_u01_sql
 
+    two = [k for k in rules if len(k) == 2]
+    ones = {k: v for k, v in rules.items() if len(k) == 1}
+    assert len(two) == 1 and len(two[0]) == 2
+    tok2, var2 = two[0], rules[two[0]]
+    assert len(var2) == 1 and tok2[0] not in ones
     name_case = "CASE c_custkey % 8 " + " ".join(
-        f"WHEN {i} THEN '{nm}'" for i, nm in enumerate(_PB_NAMES)
+        f"WHEN {i} THEN '{nm}'" for i, nm in enumerate(names)
     ) + " END"
     # i = pos - 1 (SQL is 1-indexed); sub = i*4 + (L-1)*2 + which
-    u_ph = portable_u01_sql("c_custkey * 32 + (pos - 1) * 4 + 2", SEED, "phonetic_bounded")
-    u_1 = portable_u01_sql("c_custkey * 32 + (pos - 1) * 4", SEED, "phonetic_bounded")
-    u_1v = portable_u01_sql("c_custkey * 32 + (pos - 1) * 4 + 1", SEED, "phonetic_bounded")
-    # one scan step: mirrors _corrupt_tokens_one's position loop. 'ph'
-    # (the only 2-char rule) draws first; on failure the 1-char rules
-    # at the SAME position get their own independent draw — safe to
-    # express as a flat CASE because 'p' (the char under the cursor
-    # when a 'ph' draw fails) is itself not a 1-char rule.
+    u_2 = portable_u01_sql("c_custkey * 32 + (pos - 1) * 4 + 2", SEED, decision)
+    u_1 = portable_u01_sql("c_custkey * 32 + (pos - 1) * 4", SEED, decision)
+    u_1v = portable_u01_sql("c_custkey * 32 + (pos - 1) * 4 + 1", SEED, decision)
+    one_keys = ", ".join(f"'{k}'" for k in ones)
     step_pos = (
         "CASE WHEN pos > length(name) THEN pos "
-        f"WHEN substr(name, pos, 2) = 'ph' AND {u_ph} < {_PB_TP} THEN pos + 2 "
-        f"WHEN substr(name, pos, 1) IN ('h', 't') AND {u_1} < {_PB_TP} THEN pos + 1 "
+        f"WHEN substr(name, pos, 2) = '{tok2}' AND {u_2} < {_PB_TP} THEN pos + 2 "
+        f"WHEN substr(name, pos, 1) IN ({one_keys}) AND {u_1} < {_PB_TP} THEN pos + 1 "
         "ELSE pos + 1 END"
     )
+    one_arms = []
+    for k, v in ones.items():
+        if len(v) == 1:
+            pick = f"'{v[0]}'"
+        else:
+            pick = f"(CASE WHEN {u_1v} < 0.5 THEN '{v[0]}' ELSE '{v[1]}' END)"
+        one_arms.append(
+            f"WHEN substr(name, pos, 1) = '{k}' AND {u_1} < {_PB_TP} THEN out || {pick} "
+        )
     step_out = (
         "CASE WHEN pos > length(name) THEN out "
-        f"WHEN substr(name, pos, 2) = 'ph' AND {u_ph} < {_PB_TP} THEN out || 'f' "
-        f"WHEN substr(name, pos, 1) = 'h' AND {u_1} < {_PB_TP} "
-        f"THEN out || (CASE WHEN {u_1v} < 0.5 THEN 'b' ELSE 'd' END) "
-        f"WHEN substr(name, pos, 1) = 't' AND {u_1} < {_PB_TP} THEN out || 'd' "
-        "ELSE out || substr(name, pos, 1) END"
+        f"WHEN substr(name, pos, 2) = '{tok2}' AND {u_2} < {_PB_TP} THEN out || '{var2[0]}' "
+        + "".join(one_arms)
+        + "ELSE out || substr(name, pos, 1) END"
     )
     steps = ",\n".join(
         f"s{k} AS (SELECT c_custkey, name, {step_pos} AS pos, {step_out} AS out FROM s{k - 1})"
@@ -849,7 +870,29 @@ def _pb_oracle() -> str:
         SELECT c_custkey, name, out AS noised FROM s8"""
 
 
-@_q("noise_phonetic_bounded", _pb_oracle())
+def _bounded_scan_query(names: list, rules: dict, decision: str):
+    from pseudopeople_spark.operators.kernels import make_corrupt_tokens_udf
+
+    def q(spark, sf_dir):
+        c = _t(spark, sf_dir, "customer").select("c_custkey")
+        k = F.col("c_custkey")
+        name = None
+        for i, nm in enumerate(names):
+            name = F.when(k % 8 == i, F.lit(nm)) if name is None else name.when(k % 8 == i, F.lit(nm))
+        udf = make_corrupt_tokens_udf(
+            rules, token_probability=_PB_TP, seed=SEED,
+            decision=decision, draw=_make_scan_draw(decision),
+        )
+        df = c.select(k.alias("c_custkey"), name.alias("name"))
+        return df.select(
+            "c_custkey", "name",
+            udf(F.col("c_custkey"), F.lit(True), F.col("name")).alias("noised"),
+        )
+
+    return q
+
+
+@_q("noise_phonetic_bounded", _bounded_scan_oracle(_PB_NAMES, _PB_RULES, "phonetic_bounded"))
 def noise_phonetic_bounded(spark, sf_dir):
     """make_phonetic_errors' scan algorithm (reference
     noise_functions.py:629-672 via _corrupt_tokens :788-929) oracled on
@@ -858,16 +901,85 @@ def noise_phonetic_bounded(spark, sf_dir):
     routed through the portable CRN; the DuckDB side unrolls the scan
     as 8 chained CTE state steps. The full 356-rule ANU table runs the
     same code path (tests/test_kernels.py enumerates its pathways)."""
-    from pseudopeople_spark.operators.kernels import make_corrupt_tokens_udf
+    return _bounded_scan_query(_PB_NAMES, _PB_RULES, "phonetic_bounded")(spark, sf_dir)
+
+
+@_q("noise_ocr_bounded", _bounded_scan_oracle(_OCR_NAMES, _OCR_RULES, "ocr_bounded"))
+def noise_ocr_bounded(spark, sf_dir):
+    """make_ocr_errors (reference noise_functions.py:788-852, 49-entry
+    confusion table) — same _corrupt_tokens_one code path as phonetic,
+    oracled on an OCR-style bounded table ('rn'->m, 'o'->0,
+    'l'->{1,i}): multi-char confusions exercise the token-consume
+    advance, single-char ones the variant pick."""
+    return _bounded_scan_query(_OCR_NAMES, _OCR_RULES, "ocr_bounded")(spark, sf_dir)
+
+
+# same idea for make_typos: the typo scan advances exactly one input
+# character per step, so no CTE state is needed — a flat concat of
+# per-position CASEs (the _wwd_oracle shape) replays it. Exercises the
+# neighbor pick, the 10% typo-then-original insertion, and pass-through
+# of unmapped characters, on the real kernel code path (_typo_one_impl).
+
+_TB_NAMES = ["abet", "tea", "state", "quartz", "beats", "ate", "sett", "ease"]
+_TB_QWERTY = {"a": "sq", "e": "rd", "t": "y"}
+_TB_TP = 0.4
+_TB_KEEP = 0.25
+
+
+def _tb_draw(row_key: int, i: int, which: int) -> float:
+    """(row, position, which) -> portable draw; which: 0 typo?, 1
+    neighbor pick, 2 keep-original? (i < 8, which < 3 -> sub < 32)."""
+    from pseudopeople_spark.crn import portable_u01_py
+
+    return portable_u01_py(row_key * 32 + i * 4 + which, SEED, "typo_bounded")
+
+
+def _tb_oracle() -> str:
+    from pseudopeople_spark.crn import portable_u01_sql
+
+    name_case = "CASE c_custkey % 8 " + " ".join(
+        f"WHEN {i} THEN '{nm}'" for i, nm in enumerate(_TB_NAMES)
+    ) + " END"
+    pieces = []
+    for i in range(8):
+        p = i + 1
+        u0 = portable_u01_sql(f"c_custkey * 32 + {i * 4}", SEED, "typo_bounded")
+        u1 = portable_u01_sql(f"c_custkey * 32 + {i * 4 + 1}", SEED, "typo_bounded")
+        u2 = portable_u01_sql(f"c_custkey * 32 + {i * 4 + 2}", SEED, "typo_bounded")
+        ch = f"substr(name, {p}, 1)"
+        keep = f"(CASE WHEN {u2} < {_TB_KEEP} THEN {ch} ELSE '' END)"
+        arms = []
+        for orig, nbrs in _TB_QWERTY.items():
+            if len(nbrs) == 1:
+                typo = f"'{nbrs}'"
+            else:
+                typo = f"(CASE WHEN {u1} < 0.5 THEN '{nbrs[0]}' ELSE '{nbrs[1]}' END)"
+            arms.append(f"WHEN {ch} = '{orig}' AND {u0} < {_TB_TP} THEN {typo} || {keep}")
+        pieces.append(f"(CASE {' '.join(arms)} ELSE {ch} END)")
+    noised = " || ".join(pieces)
+    return f"""WITH b AS (SELECT c_custkey, {name_case} AS name FROM customer)
+        SELECT c_custkey, name, {noised} AS noised FROM b"""
+
+
+@_q("noise_typo_bounded", _tb_oracle())
+def noise_typo_bounded(spark, sf_dir):
+    """make_typos' scan (reference noise_functions.py:675-758) oracled
+    on a bounded instance: 3-key QWERTY subset, <=8-char lowercase
+    names, the REAL kernel (_typo_one_impl) with its draws routed
+    through the portable CRN; the DuckDB side is a flat 8-position
+    CASE concat (fixed advance -> no scan state). The full qwerty
+    table runs the same code path (tests/test_kernels.py)."""
+    from pseudopeople_spark.operators.kernels import make_typos_udf
 
     c = _t(spark, sf_dir, "customer").select("c_custkey")
     k = F.col("c_custkey")
     name = None
-    for i, nm in enumerate(_PB_NAMES):
+    for i, nm in enumerate(_TB_NAMES):
         name = F.when(k % 8 == i, F.lit(nm)) if name is None else name.when(k % 8 == i, F.lit(nm))
-    udf = make_corrupt_tokens_udf(
-        _PB_RULES, token_probability=_PB_TP, seed=SEED,
-        decision="phonetic_bounded", draw=_pb_draw,
+    udf = make_typos_udf(
+        _TB_QWERTY, token_probability=_TB_TP,
+        include_original_probability=_TB_KEEP, seed=SEED,
+        decision="typo_bounded", draw=_tb_draw,
     )
     df = c.select(k.alias("c_custkey"), name.alias("name"))
     return df.select(

@@ -137,9 +137,12 @@ def make_typos_udf(
     include_original_probability: float = 0.1,
     seed: int = 0,
     decision: str = "make_typos",
+    draw=None,
 ):
     """Factory: QWERTY-typo pandas UDF (reference ``make_typos``,
-    noise_functions.py:675-758; asset data/qwerty_errors.yaml)."""
+    noise_functions.py:675-758; asset data/qwerty_errors.yaml).
+    ``draw`` (optional) overrides the per-draw RNG — see
+    :func:`_typo_one_impl`."""
     salt = _salt(seed, decision)
     frozen = {k: str(v) for k, v in qwerty.items()}
 
@@ -153,7 +156,7 @@ def make_typos_udf(
             vals = val.to_numpy(dtype=object)
             out.iloc[idx] = [
                 _typo_one_impl(str(vals[j]), int(keys[j]), frozen, token_probability, salt,
-                               include_original_probability)
+                               include_original_probability, draw=draw)
                 for j in idx
             ]
         return out
@@ -303,12 +306,19 @@ def apply_token_noise_all_columns(
 
 
 def _typo_one_impl(
-    s: str, row_key: int, frozen, tp: float, salt: int, include_original_probability: float = 0.1
+    s: str, row_key: int, frozen, tp: float, salt: int,
+    include_original_probability: float = 0.1, draw=None,
 ) -> str:
     """QWERTY typo scan for one string. ~10% of typos KEEP the original
     character, emitted typo-FIRST then original (the reference assigns
     the typo at the character position and appends the original after
-    it, noise_functions.py:740-755)."""
+    it, noise_functions.py:740-755).
+
+    ``draw(row_key, i, which)`` (which: 0 = typo?, 1 = neighbor pick,
+    2 = keep-original?) overrides the splitmix64 stream — used by the
+    SQL-replayable bounded oracle (__spark_entry__.noise_typo_bounded),
+    whose flat per-position CASE chain replays each draw exactly (the
+    scan has fixed advance, so no CTE state is needed)."""
     out: list[str] = []
     rk = np.uint64(row_key)
     st = np.uint64(salt)
@@ -317,15 +327,23 @@ def _typo_one_impl(
         if nbrs is None:
             out.append(ch)
             continue
-        if splitmix64_u01([rk, np.uint64(i), st]) >= tp:
+        u0 = draw(row_key, i, 0) if draw is not None else splitmix64_u01([rk, np.uint64(i), st])
+        if u0 >= tp:
             out.append(ch)
             continue
-        u2 = splitmix64_u01([rk, np.uint64(i), st + np.uint64(1)])
+        u2 = (
+            draw(row_key, i, 1) if draw is not None
+            else splitmix64_u01([rk, np.uint64(i), st + np.uint64(1)])
+        )
         typo = nbrs[int(u2 * len(nbrs))]
         if ch.isupper():
             typo = typo.upper()
         out.append(typo)
-        if splitmix64_u01([rk, np.uint64(i), st + np.uint64(2)]) < include_original_probability:
+        u3 = (
+            draw(row_key, i, 2) if draw is not None
+            else splitmix64_u01([rk, np.uint64(i), st + np.uint64(2)])
+        )
+        if u3 < include_original_probability:
             out.append(ch)
     return "".join(out)
 
