@@ -29,18 +29,37 @@ from pyspark.sql import functions as F
 
 
 def _capped_local_checkpoint(df: DataFrame) -> DataFrame:
-    """localCheckpoint with a partition-count cap. Stage outputs built
-    from multi-pass unions inherit the SUM of their parents' partitions
-    (union is partition-concatenation, and AQE only re-plans shuffles),
-    so an 8-pass blocking union checkpoints into ~800 partitions and
-    every downstream stage pays ~800 task launches. Cap at 4x the
-    cluster parallelism — high enough for skew headroom, low enough to
-    kill the per-task overhead."""
+    """localCheckpoint with a partition-count cap and SERIALIZED
+    storage.
+
+    Partition cap: stage outputs built from multi-pass unions inherit
+    the SUM of their parents' partitions (union is partition-
+    concatenation, and AQE only re-plans shuffles), so an 8-pass
+    blocking union checkpoints into ~800 partitions and every
+    downstream stage pays ~800 task launches. Cap at 4x the cluster
+    parallelism — high enough for skew headroom, low enough to kill
+    the per-task overhead.
+
+    Serialized storage (MEMORY_AND_DISK_SER vs the deserialized
+    default): a deserialized checkpoint of a 42M-row pair set is ~85M
+    long-lived small objects (one UnsafeRow + one byte[] per row) in
+    the old generation — every full GC walks them, and with 8 task
+    threads allocating, the measured effect was the ER scoring stage
+    DOUBLING its wall at local[8] (252s -> 710s). Serialized blocks
+    are a few large buffers per partition: near-zero GC cost, one
+    cheap deserialization per downstream scan (our checkpoints are
+    scanned 1-3x). On a 100 TB cluster this is also the executor-heap-
+    safe shape."""
+    from pyspark.storagelevel import StorageLevel
+
     sc = df.sparkSession.sparkContext
     cap = 4 * sc.defaultParallelism
     if df.rdd.getNumPartitions() > cap:
         df = df.coalesce(cap)
-    return df.localCheckpoint()
+    # PySpark 4: MEMORY_AND_DISK is the serialized level (deserialized
+    # is the explicit MEMORY_AND_DISK_DESER, which is also
+    # localCheckpoint's default)
+    return df.localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
 
 
 class StageCheckpointer:

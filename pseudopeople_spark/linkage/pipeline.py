@@ -365,13 +365,20 @@ def resolve(
         # downstream consumer ever re-runs the cascade over the full
         # pair set — match_edges sees the column and only filters.
         out = scoring.tiered_match(out, cfg.threshold, same_dataset_distinct=cfg.unique_within_dataset)
-        # Checkpoint only what downstream reads (match_edges: decision +
-        # score + the ssn-consensus inputs). The wide frame (~20 cols,
-        # half of them strings) exists transiently inside this stage;
-        # persisting it writes ~5x the bytes for columns nothing reads —
-        # at 42M pairs that extra I/O is pure non-scaling wall.
+        # Checkpoint only what downstream READS: the matched rows (plus
+        # score + the ssn-consensus inputs). Nothing downstream ever
+        # looks at a non-match row — match_edges filters on is_match
+        # immediately — so materializing all 42M scored rows into the
+        # block manager (~3 GB of storage at 300k simulants) bought
+        # nothing and its GC pressure was measured to DOUBLE the
+        # scoring stage's wall at local[8] (252s -> 710s at 24g heap):
+        # cached blocks + 8 task threads' allocation rate put the old
+        # collector into thrash. The match filter cuts the persisted
+        # set ~70x (matches ~ records, not pairs), which is also the
+        # only 100 TB-viable shape. The full scored frame stays
+        # available lazily (out['scored'] recomputes on use).
         keep = ["id_l", "id_r", "score", "is_match", "l_ssn_digits", "r_ssn_digits"]
-        return out.select(*keep)
+        return out.select(*keep).where(F.col("is_match"))
 
     scored = _timed("scoring", _scored)
     edges = scoring.match_edges(scored, cfg.threshold, same_dataset_distinct=cfg.unique_within_dataset)
@@ -394,7 +401,8 @@ def resolve(
         "id_mapping": mapping,   # rid -> original record_id
         "blocks": blocks,
         "pairs": cand,           # rid space
-        "scored": scored,        # rid space
+        "scored": scored,        # rid space; MATCH rows only (the stage
+                                 # checkpoints what downstream reads)
         "edges": edges,          # rid space
         "assignments": assignments,  # original record_id space
         "stage_seconds": stage_seconds,

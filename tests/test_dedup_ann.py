@@ -169,3 +169,59 @@ def test_ivf_centroids_partition_invariant(spark):
     c1 = train_ivf_centroids(e.repartition(2), k=8, sample_limit=300, seed=7)
     c2 = train_ivf_centroids(e.repartition(29), k=8, sample_limit=300, seed=7)
     assert np.array_equal(c1, c2)
+
+
+def test_streaming_stateful_dedup_first_seen(spark, tmp_path):
+    """applyInPandasWithState exact dedup: the first record per key is
+    emitted ONCE across micro-batches (state persists between
+    triggers); later duplicates — same batch or later batches — are
+    dropped; ties inside the first batch break on order_col."""
+    import pyspark.sql.types as T
+
+    from pseudopeople_spark.streaming.stateful import dedup_stream_first_seen
+
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("payload", T.StringType()),
+    ])
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    import os
+
+    os.makedirs(src)
+
+    def feed(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1: key a twice (seq 2 then 1 -> seq 1 wins), key b once
+    feed([("a", 2, "a2"), ("a", 1, "a1"), ("b", 7, "b7")], "b1")
+    stream = spark.readStream.schema(schema).parquet(src)
+    dd = dedup_stream_first_seen(stream, ["k"], "seq")
+    q = (
+        dd.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got1 = {(r["k"], r["seq"]) for r in spark.read.parquet(out).collect()}
+    assert got1 == {("a", 1), ("b", 7)}
+
+    # batch 2: duplicate of a (must be dropped — state crossed the
+    # trigger boundary via the checkpoint) + new key c
+    feed([("a", 0, "late-dup"), ("c", 3, "c3")], "b2")
+    q = (
+        dedup_stream_first_seen(
+            spark.readStream.schema(schema).parquet(src), ["k"], "seq"
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got2 = {(r["k"], r["seq"]) for r in spark.read.parquet(out).collect()}
+    assert got2 == {("a", 1), ("b", 7), ("c", 3)}

@@ -172,12 +172,31 @@ def worker(cores: int, n: int) -> None:
     snb_hist = snb_partition_histogram(records, ["last_name", "first_name", "dob"])
 
     samples: "list[float]" = []
+    steal_samples: "list[float]" = []
     stop = threading.Event()
 
+    def _stat_snap() -> "tuple[int, int]":
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        return vals[7], sum(vals)  # (steal, total) jiffies
+
     def _sampler() -> None:
+        # steal% is the signal loadavg CANNOT see: this VM's vCPUs lose
+        # bursts of physical CPU to the hypervisor's other tenants
+        # (cumulative steal jiffies on this host rival user jiffies).
+        # A leg that ran under heavy steal has an inflated wall with NO
+        # local evidence — sample it directly.
+        prev = _stat_snap()
         while not stop.is_set():
             samples.append(_loadavg())
             stop.wait(5.0)
+            cur = _stat_snap()
+            dt = cur[1] - prev[1]
+            if dt > 0:
+                # steal expressed in CORES (fraction of the 32-cpu total)
+                steal_samples.append((cur[0] - prev[0]) / dt * (os.cpu_count() or 32))
+            prev = cur
 
     th = threading.Thread(target=_sampler, daemon=True)
     th.start()
@@ -240,6 +259,9 @@ def worker(cores: int, n: int) -> None:
         "quality": quality,
         "snb_partition_hist": snb_hist,
         "load_median": round(med, 2),
+        "steal_cores_med": round(statistics.median(steal_samples), 2) if steal_samples else 0.0,
+        "steal_cores_p90": round(sorted(steal_samples)[int(0.9 * (len(steal_samples) - 1))], 2)
+        if steal_samples else 0.0,
         "own_cores_avg": round(own_cores, 2),
         # loadavg minus the leg's MEASURED own core usage (process-tree
         # utime+stime/wall), not its core budget — driver-bound phases
@@ -295,10 +317,16 @@ def main() -> None:
         # core rejects perfectly clean legs on a 32-core box.
         free = max(1, (os.cpu_count() or 32) - cores)
         run["dirty_threshold"] = round(max(DIRTY_EXTERNAL, 0.4 * free), 2)
-        run["clean"] = run["external_load_est"] <= run["dirty_threshold"]
+        # two independent pollution signals: runnable external tasks
+        # (loadavg minus own) and hypervisor steal (cycles the whole VM
+        # never got — invisible to loadavg; median > ~10% of the box
+        # means the leg's pinned cores lost a matching share)
+        steal_ok = run.get("steal_cores_med", 0.0) <= 0.1 * (os.cpu_count() or 32)
+        run["clean"] = (run["external_load_est"] <= run["dirty_threshold"]) and steal_ok
         sys.stderr.write(
             f"[scaling]   wall={run['resolve_sec']}s ext_load={run['external_load_est']} "
-            f"clean={run['clean']} stages={run['stage_seconds']}\n")
+            f"steal_med={run.get('steal_cores_med')} clean={run['clean']} "
+            f"stages={run['stage_seconds']}\n")
         return run
 
     all_runs: "list[dict]" = []
