@@ -334,9 +334,12 @@ def resolve(
         # coalesce to a handful of partitions — which then starves the
         # scoring stage that reuses this partitioning (measured: 8-core
         # leg ran scoring on ~4 tasks, 769s vs 443s). An explicit N is
-        # exempt from AQE coalescing and keeps the downstream Arrow UDF
-        # stage at full width; the N itself is sized from the block-set
-        # pair upper bound (_pair_partitions), not the static conf.
+        # exempt from AQE coalescing; the N itself is sized from the
+        # block-set pair upper bound (_pair_partitions), not the static
+        # conf. The stage checkpoint then caps the MATERIALIZED result
+        # at 4x parallelism (checkpoint.py) — the dedup aggregation
+        # runs at full width, and the Arrow scoring stage downstream
+        # reads >=4 well-sized waves per core.
         return p.repartition(_pair_partitions(), "id_l").dropDuplicates(["id_l", "id_r"])
 
     cand = _timed("pairs", _pairs)

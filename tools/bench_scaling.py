@@ -316,7 +316,12 @@ def main() -> None:
         # fraction of the free pool. A flat threshold of ~1 external
         # core rejects perfectly clean legs on a 32-core box.
         free = max(1, (os.cpu_count() or 32) - cores)
-        run["dirty_threshold"] = round(max(DIRTY_EXTERNAL, 0.4 * free), 2)
+        # 12% of the free pool: external tasks land on idle CPUs first,
+        # but beyond ~3 external cores the shared memory bus measurably
+        # slows the pinned leg (isolated A/B: the same scoring stage ran
+        # 58.5s at loadavg 0.1 vs 95.6s at ext~1.4-3) — the round-3
+        # threshold of 40% accepted materially-polluted legs as clean.
+        run["dirty_threshold"] = round(max(DIRTY_EXTERNAL, 0.12 * free), 2)
         # two independent pollution signals: runnable external tasks
         # (loadavg minus own) and hypervisor steal (cycles the whole VM
         # never got — invisible to loadavg; median > ~10% of the box
@@ -335,13 +340,13 @@ def main() -> None:
     # attempt budget is spent
     for attempt in range(max_attempts):
         for cores in (lo, hi):
-            if len(accepted[cores]) >= 2:
+            if len(accepted[cores]) >= 3:
                 continue
             run = _run_leg(cores)
             all_runs.append(run)
             if run["clean"]:
                 accepted[cores].append(run)
-        if all(len(accepted[c]) >= 2 for c in (lo, hi)):
+        if all(len(accepted[c]) >= 3 for c in (lo, hi)):
             break
 
     def _best(cores: int) -> dict:

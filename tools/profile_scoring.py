@@ -142,6 +142,8 @@ def leg(cores: int, n: int) -> None:
         extra_conf={
             "spark.python.worker.faulthandler.enabled": "true",
             "spark.network.timeout": "600s",
+            "spark.sql.execution.arrow.maxRecordsPerBatch":
+                os.environ.get("PP_ARROW_BATCH", "20000"),
         },
     )
     records = spark.read.parquet(_records_path(n)).localCheckpoint()
