@@ -45,17 +45,24 @@ class ResolveConfig:
     snb_window: int = 3
     use_sorted_neighborhood: bool = True
     use_minhash: bool = True
-    # records tables up to this size score via the fused broadcast
-    # mapInArrow path (scoring.score_pairs_fused) — no attach joins, a
-    # 16-byte id pair on the wire instead of the ~250-byte wide row.
-    # Larger tables (the 10^12-document regime) use the co-partitioned
-    # join + score_pairs_arrow path, which never replicates records.
+    # records tables up to this size score via the fused lookup
+    # mapInArrow path (scoring.score_pairs_fused: scratch-parquet
+    # lookup read once per python worker) — no attach joins, a 16-byte
+    # id pair on the wire instead of the ~250-byte wide row. Larger
+    # tables (the 10^12-document regime) use the co-partitioned join +
+    # score_pairs_arrow path, which never replicates records.
     broadcast_score_limit: int = 5_000_000
     checkpoint_dir: "str | None" = None
 
 
 CANONICAL_FIELDS = ["dataset", "period", "first_name", "middle", "last_name",
                     "dob", "byear", "ssn_digits", "zipcode", "city", "state", "sex"]
+
+# Fine-grained sub-stage wall clocks (dotted keys), merged into
+# resolve()'s stage_seconds: the N-vs-4N scaling work needs to know
+# WHICH sub-step inside a stage is the non-scaling (fixed) component,
+# not just the stage totals.
+_PROF: "dict[str, float]" = {}
 
 
 def _dob_digits(col: Column, fmt: str) -> Column:
@@ -220,21 +227,27 @@ def _assign_int_ids(records: DataFrame, id_col: str = "record_id", max_tries: in
     both cheap projections of ONE materialized frame; n_records, free
     from the verification pass, for data-driven partition sizing.
     """
+    import time as _time
+
     from pseudopeople_spark.checkpoint import _capped_local_checkpoint
 
     stripped = F.regexp_replace(F.col(id_col), r"_dup$", "")
     for salt in range(max_tries):
         rid = F.xxhash64(F.col(id_col), F.lit(salt))
         base = F.xxhash64(stripped, F.lit(salt))
+        _t0 = _time.time()
         with_rid = _capped_local_checkpoint(
             records.withColumn("__rid", rid).withColumn("base_rid", base)
         )
+        _PROF["normalize.ckpt"] = round(_time.time() - _t0, 2)
+        _t0 = _time.time()
         n, nd, nb, nbk = with_rid.agg(
             F.count("*"),
             F.count_distinct("__rid"),
             F.count_distinct("base_rid"),
             F.count_distinct(stripped),
         ).first()
+        _PROF["normalize.verify"] = round(_time.time() - _t0, 2)
         if n == nd and nb == nbk:
             mapping = with_rid.select(F.col("__rid").alias("rid"), F.col(id_col))
             recs = with_rid.drop(id_col).withColumnRenamed("__rid", id_col)
@@ -268,6 +281,7 @@ def resolve(
     cfg = cfg or ResolveConfig()
     ckpt = StageCheckpointer(spark, cfg.checkpoint_dir or "", enabled=bool(cfg.checkpoint_dir))
     stage_seconds: "dict[str, float]" = {}
+    _PROF.clear()
 
     def _timed(name, fn):
         t0 = _time.time()
@@ -305,10 +319,12 @@ def resolve(
         per_block = F.when(
             F.col("c") <= cap, F.col("c") * (F.col("c") - 1) / 2
         ).otherwise(F.col("c") * w)
+        _t0 = _time.time()
         ub_row = (
             blocks.groupBy("block_key").agg(F.count("*").alias("c"))
             .agg(F.sum(per_block).alias("ub")).first()
         )
+        _PROF["pairs.ub_agg"] = round(_time.time() - _t0, 2)
         ub = int(ub_row["ub"] or 0)
         if cfg.use_sorted_neighborhood:
             ub += n_records * cfg.snb_window
@@ -398,6 +414,9 @@ def resolve(
 
     assignments_full = _timed("clustering", _assignments)
     assignments = assignments_full.select("record_id", "cluster_id")
+    stage_seconds.update(_PROF)
+    stage_seconds.update(scoring.PROF)
+    scoring.PROF.clear()
 
     out = {
         "records": records,      # rid space (record_id is the int64 surrogate)

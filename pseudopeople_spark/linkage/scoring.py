@@ -455,10 +455,16 @@ def _make_sim_engine(families, specs):
     return compute
 
 
-# single live records broadcast per process (see score_pairs_fused
-# docstring: prevents one leaked GB-scale broadcast per resolve() call
-# in a long-lived session)
-_LIVE_REC_BROADCAST = None
+# single live records lookup directory per process (see
+# score_pairs_fused docstring: the previous resolve() call's scratch
+# parquet is deleted when the next one is written, so a long-lived
+# session holds at most one)
+_LIVE_REC_DIR: "str | None" = None
+
+# driver-side sub-step wall clocks for the fused scorer (lookup-table
+# scratch write) — merged into resolve()'s stage_seconds so scaling
+# benches can see which scoring sub-step is fixed vs variable
+PROF: "dict[str, float]" = {}
 
 
 def score_pairs_fused(
@@ -471,13 +477,13 @@ def score_pairs_fused(
     emit_attach: "list[str] | None" = None,
 ) -> DataFrame:
     """Fused attach+score: one mapInArrow pass over the BARE pair ids,
-    with the record fields looked up worker-side from a broadcast of
-    the records table. Replaces attach_pair_fields' two sort-merge
+    with the record fields looked up worker-side from a scratch-parquet
+    copy of the records table. Replaces attach_pair_fields' two sort-merge
     joins AND shrinks the scoring stage's exchange traffic from the
     ~250-byte wide pair row to the 16-byte id pair — on a host whose
     per-core throughput degrades under memory traffic, bytes-per-pair
     is the scaling limiter, so this is the variant resolve() uses
-    whenever the records table fits a worker broadcast
+    whenever the records table fits a per-worker lookup
     (ResolveConfig.broadcast_score_limit, default 5M records ~ 500MB).
     Beyond the limit the join + score_pairs_arrow path is the scale
     shape: it co-partitions pairs and records by id instead of
@@ -487,16 +493,22 @@ def score_pairs_fused(
     attach_pair_fields(...) |> score_pairs_arrow(...) (asserted by
     tests/test_scoring_impls.py).
 
-    Driver memory: the records projection is collected to the driver
-    (toArrow) and broadcast — at the default 5M-record
-    broadcast_score_limit that is up to ~500MB of driver heap, which
-    the caller's driver must be sized for (resolve() documents this on
-    ResolveConfig.broadcast_score_limit). The broadcast is held in a
-    single module-level slot: a long-lived session that calls
-    resolve() repeatedly destroys the PREVIOUS call's broadcast when
-    the next one is created, so at most one records broadcast is live
-    per process (the returned DataFrame is lazy, so the current one
-    cannot be destroyed eagerly here).
+    Lookup distribution: the records projection is written ONCE as an
+    executor-parallel parquet to scratch storage and each python worker
+    reads it directly (column-pruned to what the sims/emit need, one
+    read per worker, page-cache-shared on a single host). The previous
+    shape collected the table to the DRIVER (toArrow) and pickle-
+    broadcast it — a serial driver job on the scoring stage's critical
+    path (measured 10-20 s at 745k records) that cost the same wall at
+    EVERY parallelism (a pure fixed, non-scaling term) and held the
+    whole table on the driver heap. Scratch dir: $PP_FUSED_LOOKUP_DIR
+    if set, else the system tmpdir; on a real cluster point it at the
+    job's DFS scratch — broadcast-via-storage is the standard shape for
+    lookup tables near the broadcast ceiling. A single module-level
+    slot deletes the PREVIOUS resolve() call's scratch table when the
+    next one is written, so at most one is live per process (the
+    returned DataFrame is lazy, so the current one cannot be deleted
+    eagerly here).
 
     ``emit_attach`` (default: all of ``attach``) restricts which
     attach-VALUE columns the worker sends back to the JVM. All of
@@ -508,17 +520,23 @@ def score_pairs_fused(
     l_*/r_* string set is ~2x the emitted bytes of the consumed set,
     and that stream crosses a local socket per batch — non-scaling
     wall on the scoring stage's critical path."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+    import uuid
+
     from pyspark.sql import types as T
 
-    rec_tbl = records.select(id_col, *attach).toArrow()
-    global _LIVE_REC_BROADCAST
-    if _LIVE_REC_BROADCAST is not None:
-        try:
-            _LIVE_REC_BROADCAST.destroy()
-        except Exception:
-            pass  # session that created it may already be stopped
-    b = spark.sparkContext.broadcast(rec_tbl)
-    _LIVE_REC_BROADCAST = b
+    base = os.environ.get("PP_FUSED_LOOKUP_DIR") or tempfile.gettempdir()
+    path = os.path.join(base, f"pp_fused_rec_{uuid.uuid4().hex}")
+    _t0 = _time.time()
+    records.select(id_col, *attach).write.mode("overwrite").parquet(path)
+    PROF["scoring.lookup_write"] = round(_time.time() - _t0, 2)
+    global _LIVE_REC_DIR
+    if _LIVE_REC_DIR is not None:
+        shutil.rmtree(_LIVE_REC_DIR, ignore_errors=True)
+    _LIVE_REC_DIR = path
     if emit_attach is None:
         emit_attach = attach
     else:
@@ -542,7 +560,7 @@ def score_pairs_fused(
     i_l, i_r = 0, 1
 
     return cand.mapInArrow(
-        make_fused_batches(b, id_col, attach, specs, families, i_l, i_r, emit_attach),
+        make_fused_batches(path, id_col, attach, specs, families, i_l, i_r, emit_attach),
         out_schema,
     )
 
@@ -554,22 +572,26 @@ def score_pairs_fused(
 # accumulates its own copy (not collected).
 PHASE_SECONDS: "dict[str, float]" = {"lookup": 0.0, "take": 0.0, "sims": 0.0, "emit": 0.0}
 
-# Single-slot per-worker cache of the broadcast records table's
-# decoded lookup structures (pd.Index over the id column + chunk-
-# combined field arrays). Building these cost ~100ms per TASK before
-# (one pd.Index hash table over 745k ids per task); python workers are
-# reused across tasks (spark.python.worker.reuse) and at most one
-# records broadcast is live per process (_LIVE_REC_BROADCAST), so a
-# single identity-keyed slot gives a per-WORKER build instead.
-_FUSED_REC_CACHE: "dict[str, object]" = {"tbl": None}
+# Single-slot per-worker cache of the records lookup table's decoded
+# structures (pd.Index over the id column + chunk-combined field
+# arrays). Building these cost ~100ms per TASK before (one pd.Index
+# hash table over 745k ids per task); python workers are reused across
+# tasks (spark.python.worker.reuse) and at most one records lookup is
+# live per process (_LIVE_REC_DIR), so a single key-matched slot gives
+# a per-WORKER build (and, for the path form, a per-worker READ)
+# instead.
+_FUSED_REC_CACHE: "dict[str, object]" = {"key": None}
 
 
-def make_fused_batches(b, id_col, attach, specs, families, i_l, i_r, emit_attach=None):
+def make_fused_batches(src, id_col, attach, specs, families, i_l, i_r, emit_attach=None):
     """Worker-side generator factory for score_pairs_fused — module
-    level so tools/profile_scoring.py can drive it in-process over
-    pyarrow batches without a SparkSession. ``emit_attach`` (default:
-    all of ``attach``) selects which looked-up value columns are sent
-    back to the JVM; the rest exist only as sim inputs."""
+    level so tools/mp_scaling_probe.py can drive it in-process over
+    pyarrow batches without a SparkSession. ``src`` is either a path to
+    the scratch parquet written by score_pairs_fused (read worker-side,
+    column-pruned) or any object with a ``.value`` Arrow table (the
+    in-process probe's shim). ``emit_attach`` (default: all of
+    ``attach``) selects which looked-up value columns are sent back to
+    the JVM; the rest exist only as sim inputs."""
     if emit_attach is None:
         emit_attach = attach
     # look up only what the sims read or the JVM receives — an attach
@@ -587,10 +609,16 @@ def make_fused_batches(b, id_col, attach, specs, families, i_l, i_r, emit_attach
         from pseudopeople_spark.linkage import scoring as _S
 
         ph = _S.PHASE_SECONDS
-        tbl = b.value
         cache = _S._FUSED_REC_CACHE
-        if cache.get("tbl") is not tbl:
-            cache["tbl"] = tbl
+        key = src if isinstance(src, str) else id(src.value)
+        if cache.get("key") != key:
+            if isinstance(src, str):
+                import pyarrow.dataset as ds
+
+                tbl = ds.dataset(src).to_table(columns=[id_col] + lookup)
+            else:
+                tbl = src.value
+            cache["key"] = key
             cache["index"] = pd.Index(tbl.column(id_col).to_numpy(zero_copy_only=False))
             cache["cols"] = {c: tbl.column(c).combine_chunks() for c in lookup}
         index = cache["index"]

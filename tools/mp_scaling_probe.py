@@ -102,8 +102,16 @@ def main() -> None:
                 best[p] = r
     lo, hi = min(levels), max(levels)
     eff = best[lo]["max_worker_wall"] / ((hi / lo) * best[hi]["max_worker_wall"])
-    print(json.dumps({"n": n, "levels": {str(p): best[p] for p in levels},
-                      "kernel_scaling_efficiency": round(eff, 3)}))
+    out = {"n": n, "levels": {str(p): best[p] for p in levels},
+           "lo": lo, "hi": hi,
+           "kernel_scaling_efficiency": round(eff, 3)}
+    print(json.dumps(out))
+    if os.environ.get("PROBE_WRITE", "") == "1" or "--write" in sys.argv:
+        # the workload-matched hardware ceiling: the scoring kernel with
+        # zero framework — any sublinearity here bounds what ANY engine
+        # can show for this workload on this host (bench_scaling reads it)
+        with open(os.path.join(REPO, "BENCH", "KERNEL_CEILING.json"), "w") as f:
+            json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":
