@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from pseudopeople_spark.checkpoint import StageCheckpointer
 from pseudopeople_spark.operators.assets import FAKE_FIRST_NAMES, FAKE_LAST_NAMES
-from pseudopeople_spark.linkage import blocking, pairs as pairgen, scoring
+from pseudopeople_spark.linkage import blocking, pairs as pairgen, refine, scoring
 from pseudopeople_spark.linkage.clustering import cluster_records
 from pseudopeople_spark.linkage.metrics import pairwise_f1_on_candidates
 
@@ -52,6 +52,11 @@ class ResolveConfig:
     # tables (the 10^12-document regime) use the co-partitioned join +
     # score_pairs_arrow path, which never replicates records.
     broadcast_score_limit: int = 5_000_000
+    # split clusters whose transitive closure violates the
+    # dataset-period uniqueness invariant (linkage.refine): the FP mass
+    # at scale is same-household twins merged through a low-evidence
+    # bridge edge, and the violation is machine-detectable
+    refine_splits: bool = True
     checkpoint_dir: "str | None" = None
 
 
@@ -404,6 +409,11 @@ def resolve(
 
     def _assignments() -> DataFrame:
         asg = cluster_records(edges, records)
+        if cfg.refine_splits and cfg.unique_within_dataset:
+            # detection = one aggregate over the records-sized
+            # assignment set; the rebuild touches only the (rare,
+            # entity-sized) violating clusters — see linkage.refine
+            asg = refine.split_violating_clusters(asg, edges, records)
         # translate back to the caller's string ids — one broadcast-size
         # join over the (small) assignment set, never over the pairs
         return (

@@ -676,9 +676,7 @@ def dob_similarity(a: Column, b: Column) -> Column:
     )
 
 
-def tiered_match(
-    scored: DataFrame, threshold: float = 0.92, same_dataset_distinct: bool = False
-) -> DataFrame:
+def _tier_columns(threshold: float = 0.92) -> "dict[str, Column]":
     """Decision layer on top of the similarity vector — a deterministic
     rule cascade, each tier motivated by one of the reference's noise
     channels, with the weighted score as the probabilistic fallback:
@@ -833,15 +831,30 @@ def tiered_match(
     # non-contradicting middle/sex (child records appear only in
     # census+ssa, where dob is the main identifier)
     tier6 = jl.isNull() & (jf >= 0.95) & (dob == 1.0) & mid_compat & sex_compat & ~ssn_conflict
-    is_match = (
-        F.coalesce(tier1, F.lit(False))
-        | F.coalesce(tier1b, F.lit(False))
-        | F.coalesce(tier2, F.lit(False))
-        | F.coalesce(tier3, F.lit(False))
-        | F.coalesce(tier4, F.lit(False))
-        | F.coalesce(tier5, F.lit(False))
-        | F.coalesce(tier6, F.lit(False))
-    )
+    return {
+        "tier1": tier1, "tier1b": tier1b, "tier2": tier2, "tier3": tier3,
+        "tier4": tier4, "tier5": tier5, "tier6": tier6,
+    }
+
+
+def tier_flags(scored: DataFrame, threshold: float = 0.92) -> DataFrame:
+    """scored + one boolean column per cascade tier — the diagnosis
+    surface (tools/diag_fp.py): which tier admitted a false positive."""
+    out = scored
+    for name, col in _tier_columns(threshold).items():
+        out = out.withColumn(name, F.coalesce(col, F.lit(False)))
+    return out
+
+
+def tiered_match(
+    scored: DataFrame, threshold: float = 0.92, same_dataset_distinct: bool = False
+) -> DataFrame:
+    """OR of the cascade tiers (see :func:`_tier_columns` for the rule
+    rationale), plus the same-dataset-period hard constraint."""
+    is_match = None
+    for col in _tier_columns(threshold).values():
+        c = F.coalesce(col, F.lit(False))
+        is_match = c if is_match is None else (is_match | c)
     if same_dataset_distinct and "l_dataset" in scored.columns:
         # Within ONE extract period an entity appears at most once (one
         # census row per simulant per year, reference interface.py), so
