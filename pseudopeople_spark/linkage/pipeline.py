@@ -427,6 +427,8 @@ def resolve(
     stage_seconds.update(_PROF)
     stage_seconds.update(scoring.PROF)
     scoring.PROF.clear()
+    stage_seconds.update(refine.PROF)
+    refine.PROF.clear()
 
     out = {
         "records": records,      # rid space (record_id is the int64 surrogate)

@@ -34,8 +34,15 @@ clusters' edges + members — no pair-scale shuffle anywhere.
 
 from __future__ import annotations
 
+import time as _time
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# driver-side sub-step walls, merged into resolve()'s stage_seconds
+# (same convention as scoring.PROF) so scaling evidence can attribute
+# the clustering stage's refine share
+PROF: "dict[str, float]" = {}
 
 
 def find_violating_clusters(assignments: DataFrame, meta: DataFrame) -> DataFrame:
@@ -111,55 +118,108 @@ def split_violating_clusters(
     edges: DataFrame,
     records: DataFrame,
     id_col: str = "record_id",
+    local_limit: int = 2_000_000,
 ) -> DataFrame:
     """assignments (record_id, cluster_id) -> corrected assignments.
 
     edges: (id_l, id_r, score) match edges, rid space. records must
-    carry (record_id, dataset, period, base_rid)."""
+    carry (record_id, dataset, period, base_rid).
+
+    Two rebuild paths, size-gated like clustering's local union-find
+    finish: violating rows <= ``local_limit`` (always, in practice —
+    violations are ~1e-4 of clusters and entity-sized) collect to the
+    driver and rebuild in one vectorized pass, which costs two
+    broadcast-semi SCANS and zero extra shuffles; above the gate, a
+    cogroup ``applyInPandas`` keeps the rebuild distributed."""
     meta = records.select(
         F.col(id_col).alias("record_id"), "dataset", "period", "base_rid"
     )
     # materialize the (slim, records-sized, 2-column) assignment set
-    # once: four consumers below (detection, edge tag, node set, kept)
-    # would otherwise each replay the full connected-components lineage
+    # once: its consumers below (detection join, kept anti-join) would
+    # otherwise each replay the full connected-components lineage
     # (measured: 96s -> ~15s clustering stage at 300k simulants)
+    _t = _time.time()
     assignments = assignments.localCheckpoint()
+    PROF["refine.asg_ckpt"] = round(_time.time() - _t, 2)
+    # ONE assignments><meta shuffle join feeds both the detection
+    # aggregate and the violating-node set (materialized: slim 5-column
+    # records-sized frame, two consumers)
+    _t = _time.time()
+    joined = assignments.join(meta, "record_id").localCheckpoint()
+    PROF["refine.joined_ckpt"] = round(_time.time() - _t, 2)
     # localCheckpoint: (a) materializes the tiny violating-id set once
-    # for its three consumers, (b) detaches lineage so the semi-joins
-    # below aren't flagged as an ambiguous self-join (bad descends from
-    # assignments); rename the key so join conditions are unambiguous
+    # for its consumers, (b) detaches lineage so the joins below aren't
+    # flagged as an ambiguous self-join (bad descends from assignments);
+    # rename the key so join conditions are unambiguous
+    _t = _time.time()
     bad = (
-        find_violating_clusters(assignments, meta)
+        joined.groupBy("cluster_id", "dataset", "period")
+        .agg(F.count_distinct("base_rid").alias("k"))
+        .where(F.col("k") >= 2)
         .select(F.col("cluster_id").alias("bad_cid"))
+        .distinct()
         .localCheckpoint()
     )
     n_bad = bad.count()
+    PROF["refine.detect"] = round(_time.time() - _t, 2)
     if n_bad == 0:
         return assignments
-    # every match edge has both endpoints in one cluster, so tagging by
-    # id_l's cluster is enough; semi-join keeps only violating clusters
+    _t = _time.time()
+    bad_nodes = (
+        joined.join(
+            F.broadcast(bad), F.col("cluster_id") == F.col("bad_cid"), "left_semi"
+        )
+        .select("cluster_id", "record_id", "dataset", "period", "base_rid")
+        .localCheckpoint()
+    )
+    n_rows = bad_nodes.count()
+    PROF["refine.nodes"] = round(_time.time() - _t, 2)
+    kept = assignments.join(
+        F.broadcast(bad), F.col("cluster_id") == F.col("bad_cid"), "left_anti"
+    )
+    spark = assignments.sparkSession
+    if n_rows <= local_limit:
+        # ---- driver-local path. The violating rid set is known, so
+        # the edge restriction is a broadcast semi-join on id_l (both
+        # endpoints share a cluster, so id_l membership suffices) — an
+        # edge-set SCAN, no shuffle, no cogroup, no python workers.
+        _t = _time.time()
+        node_pdf = bad_nodes.toPandas()
+        rid_df = spark.createDataFrame(
+            node_pdf[["record_id"]].rename(columns={"record_id": "id_l"})
+        )
+        edge_pdf = (
+            edges.join(F.broadcast(rid_df), "id_l", "left_semi")
+            .select("id_l", "id_r", "score")
+            .toPandas()
+        )
+        PROF["refine.collect"] = round(_time.time() - _t, 2)
+        _t = _time.time()
+        # one GLOBAL greedy pass: violating clusters are disjoint node
+        # sets and no match edge crosses clusters, so running the
+        # constrained union-find over the whole collected set at once
+        # is equivalent to per-cluster rebuilds — and skips the pandas
+        # groupby + per-group frame construction (measured 3.8s -> 0.3s
+        # at ~2k violating clusters)
+        fixed_pdf = _rebuild(None, edge_pdf, node_pdf)
+        fixed = spark.createDataFrame(
+            fixed_pdf, schema="record_id long, cluster_id long"
+        )
+        PROF["refine.rebuild"] = round(_time.time() - _t, 2)
+        return kept.unionByName(fixed)
+    # ---- distributed path (the 10^12-record regime). The edge side's
+    # grouping key gets a fresh name (ecid): both cogroup sides would
+    # otherwise carry the SAME cluster_id attribute from assignments,
+    # which the analyzer rejects as an ambiguous self-join.
     asg_l = assignments.select(
         F.col("record_id").alias("id_l"), F.col("cluster_id")
     )
-    # the edge side's grouping key gets a fresh name (ecid): both
-    # cogroup sides otherwise carry the SAME cluster_id attribute from
-    # assignments, which the analyzer rejects as an ambiguous self-join
     bad_edges = (
         edges.join(asg_l, "id_l")
         .join(F.broadcast(bad), F.col("cluster_id") == F.col("bad_cid"), "left_semi")
         .select(F.col("cluster_id").alias("ecid"), "id_l", "id_r", "score")
     )
-    bad_nodes = (
-        assignments.join(
-            F.broadcast(bad), F.col("cluster_id") == F.col("bad_cid"), "left_semi"
-        )
-        .join(meta, "record_id")
-        .select("cluster_id", "record_id", "dataset", "period", "base_rid")
-    )
     fixed = bad_edges.groupBy("ecid").cogroup(
         bad_nodes.groupBy("cluster_id")
     ).applyInPandas(_rebuild, schema="record_id long, cluster_id long")
-    kept = assignments.join(
-        F.broadcast(bad), F.col("cluster_id") == F.col("bad_cid"), "left_anti"
-    )
     return kept.unionByName(fixed)

@@ -84,6 +84,25 @@ def test_null_periods_compare_equal(spark):
     assert out[2] == 2
 
 
+def test_local_and_distributed_paths_agree(spark):
+    # same twin-merge fixture through BOTH rebuild paths: the driver
+    # -local fast path (default gate) and the cogroup path (gate 0)
+    meta = _meta(
+        spark,
+        [
+            (1, "census", "2020", 1), (2, "w2", "2020", 2), (3, "ssa", None, 3),
+            (4, "census", "2020", 4), (5, "w2", "2020", 5),
+        ],
+    )
+    asg = _asg(spark, [(1, 1), (2, 1), (3, 1), (4, 1), (5, 1)])
+    edges = _edges(spark, [(1, 2, 0.99), (2, 3, 0.97), (3, 4, 0.93), (4, 5, 0.99)])
+    local = sorted(refine.split_violating_clusters(asg, edges, meta).collect())
+    dist = sorted(
+        refine.split_violating_clusters(asg, edges, meta, local_limit=0).collect()
+    )
+    assert local == dist
+
+
 def test_resolve_end_to_end_has_no_violations(spark):
     """After resolve() with refine_splits on, NO cluster may hold two
     base_rids in one (dataset, period) slot."""
