@@ -381,6 +381,19 @@ def resolve(
             n_records <= cfg.broadcast_score_limit
             and os.environ.get("PP_SCORING_IMPL", "arrow") == "arrow"
         ):
+            if os.environ.get("PP_SCORING_DECIDE", "1") != "0":
+                # decide worker-side and emit only the matched rows in
+                # the slim checkpoint projection: the Python->JVM Arrow
+                # stream shrinks from pairs-sized (~200 B/pair) to
+                # records-sized, and no JVM cascade scan of the full
+                # pair set remains (scoring.cascade_match_mask)
+                return scoring.score_pairs_fused(
+                    spark, cand, records, attach, emit_attach=emit,
+                    decide={
+                        "threshold": cfg.threshold,
+                        "same_dataset_distinct": cfg.unique_within_dataset,
+                    },
+                )
             out = scoring.score_pairs_fused(spark, cand, records, attach, emit_attach=emit)
         else:
             out = scoring.score_pairs(scoring.attach_pair_fields(cand, records, attach))

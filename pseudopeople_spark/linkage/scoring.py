@@ -475,6 +475,7 @@ def score_pairs_fused(
     fields: "tuple[FieldSpec, ...]" = DEFAULT_FIELDS,
     id_col: str = "record_id",
     emit_attach: "list[str] | None" = None,
+    decide: "dict | None" = None,
 ) -> DataFrame:
     """Fused attach+score: one mapInArrow pass over the BARE pair ids,
     with the record fields looked up worker-side from a scratch-parquet
@@ -545,12 +546,30 @@ def score_pairs_fused(
             raise ValueError(f"emit_attach columns not in attach: {missing}")
     rec_schema = {f.name: f.dataType for f in records.select(id_col, *attach).schema.fields}
     pair_fields = list(pairs.select("id_l", "id_r").schema.fields)
-    out_schema = T.StructType(
-        pair_fields
-        + [T.StructField(f"{side}_{c}", rec_schema[c]) for side in ("l", "r") for c in emit_attach]
-        + [T.StructField(f"sim_{s.name}", T.DoubleType()) for s in fields]
-        + [T.StructField("score", T.DoubleType())]
-    )
+    if decide is not None:
+        # decide-and-filter mode: the cascade runs worker-side and only
+        # matched rows cross back, already in the slim projection the
+        # pipeline checkpoints (cascade_match_mask docstring)
+        aux_missing = [c for c in CASCADE_AUX_FIELDS if c not in attach]
+        if aux_missing:
+            raise ValueError(f"decide mode needs cascade aux fields in attach: {aux_missing}")
+        emit_attach = []
+        out_schema = T.StructType(
+            pair_fields
+            + [
+                T.StructField("score", T.DoubleType()),
+                T.StructField("is_match", T.BooleanType()),
+                T.StructField("l_ssn_digits", rec_schema["ssn_digits"]),
+                T.StructField("r_ssn_digits", rec_schema["ssn_digits"]),
+            ]
+        )
+    else:
+        out_schema = T.StructType(
+            pair_fields
+            + [T.StructField(f"{side}_{c}", rec_schema[c]) for side in ("l", "r") for c in emit_attach]
+            + [T.StructField(f"sim_{s.name}", T.DoubleType()) for s in fields]
+            + [T.StructField("score", T.DoubleType())]
+        )
     specs = [(s.name, s.kind, s.weight) for s in fields]
     families = _nickname_families()
     # the batches mapInArrow sees come from the 2-column projection
@@ -560,7 +579,8 @@ def score_pairs_fused(
     i_l, i_r = 0, 1
 
     return cand.mapInArrow(
-        make_fused_batches(path, id_col, attach, specs, families, i_l, i_r, emit_attach),
+        make_fused_batches(path, id_col, attach, specs, families, i_l, i_r, emit_attach,
+                           decide=decide),
         out_schema,
     )
 
@@ -583,7 +603,8 @@ PHASE_SECONDS: "dict[str, float]" = {"lookup": 0.0, "take": 0.0, "sims": 0.0, "e
 _FUSED_REC_CACHE: "dict[str, object]" = {"key": None}
 
 
-def make_fused_batches(src, id_col, attach, specs, families, i_l, i_r, emit_attach=None):
+def make_fused_batches(src, id_col, attach, specs, families, i_l, i_r, emit_attach=None,
+                       decide=None):
     """Worker-side generator factory for score_pairs_fused — module
     level so tools/mp_scaling_probe.py can drive it in-process over
     pyarrow batches without a SparkSession. ``src`` is either a path to
@@ -591,13 +612,23 @@ def make_fused_batches(src, id_col, attach, specs, families, i_l, i_r, emit_atta
     column-pruned) or any object with a ``.value`` Arrow table (the
     in-process probe's shim). ``emit_attach`` (default: all of
     ``attach``) selects which looked-up value columns are sent back to
-    the JVM; the rest exist only as sim inputs."""
+    the JVM; the rest exist only as sim inputs.
+
+    ``decide`` (dict with ``threshold`` / ``same_dataset_distinct``)
+    switches the generator to decide-and-filter mode: the match cascade
+    (:func:`cascade_match_mask`) runs in the worker and each batch
+    emits ONLY the matched rows with the slim downstream projection
+    (id_l, id_r, score, is_match, l/r ssn_digits) — see
+    cascade_match_mask's docstring for why this is the scaling shape."""
     if emit_attach is None:
         emit_attach = attach
     # look up only what the sims read or the JVM receives — an attach
     # column that is neither (e.g. one kept for the fallback join
     # path's symmetry) costs a pc.take per side per batch otherwise
-    lookup = [c for c in attach if c in {s[0] for s in specs} | set(emit_attach)]
+    need = {s[0] for s in specs} | set(emit_attach)
+    if decide is not None:
+        need |= set(CASCADE_AUX_FIELDS) & set(attach)
+    lookup = [c for c in attach if c in need]
 
     def _fused_batches(batches):
         from time import perf_counter
@@ -645,7 +676,34 @@ def make_fused_batches(src, id_col, attach, specs, families, i_l, i_r, emit_atta
             t2 = perf_counter()
             add_arrays, add_names = compute(col, rb.num_rows)
             t3 = perf_counter()
-            out = _pa_batch(arrays + add_arrays, names + add_names)
+            if decide is not None:
+                import numpy as np
+
+                simmap = {
+                    nm[4:]: a.to_numpy(zero_copy_only=False)
+                    for nm, a in zip(add_names, add_arrays)
+                    if nm.startswith("sim_")
+                }
+                score = add_arrays[add_names.index("score")].to_numpy(zero_copy_only=False)
+                mask = cascade_match_mask(
+                    simmap, score, col,
+                    threshold=decide.get("threshold", 0.92),
+                    same_dataset_distinct=decide.get("same_dataset_distinct", False),
+                )
+                sel = pa.array(np.flatnonzero(mask))
+                out = _pa_batch(
+                    [
+                        pc.take(ids_l, sel),
+                        pc.take(ids_r, sel),
+                        pa.array(score[mask], type=pa.float64()),
+                        pa.array(np.ones(len(sel), dtype=bool)),
+                        pc.take(col["l_ssn_digits"], sel),
+                        pc.take(col["r_ssn_digits"], sel),
+                    ],
+                    ["id_l", "id_r", "score", "is_match", "l_ssn_digits", "r_ssn_digits"],
+                )
+            else:
+                out = _pa_batch(arrays + add_arrays, names + add_names)
             t4 = perf_counter()
             ph["lookup"] += t1 - t0
             ph["take"] += t2 - t1
@@ -886,6 +944,138 @@ def tiered_match(
             same_dataset = same_dataset & F.col("l_period").eqNullSafe(F.col("r_period"))
         is_match = is_match & (~same_dataset | dup_twin)
     return scored.withColumn("is_match", is_match)
+
+
+# attach values the worker-side cascade reads beyond the sim inputs
+CASCADE_AUX_FIELDS = ("ssn_digits", "first_name", "byear", "dataset", "period", "base_rid")
+
+
+def cascade_match_mask(sim, score, aux, threshold=0.92, same_dataset_distinct=False):
+    """Vectorized (numpy/pyarrow) replica of :func:`_tier_columns` +
+    :func:`tiered_match`'s hard constraint, for evaluation INSIDE the
+    Arrow scoring worker.
+
+    Deciding worker-side lets the fused scorer emit only the matched
+    rows (~records-sized, not pairs-sized) with the slim downstream
+    projection: at 42M candidate pairs the previous Python->JVM stream
+    (all pairs x l_*/r_* strings + sims, ~200 B/pair ~ 8.5 GB per
+    resolve) shrinks ~60x, and the JVM-side cascade scan over the full
+    pair set disappears. Both ends of that stream are per-pair memory
+    traffic on the scoring stage's critical path — exactly the term the
+    N->4N scaling measurement shows saturating the shared memory bus.
+
+    SQL three-valued logic maps to two-valued numpy here because every
+    NULL-producing comparison in the cascade sits under an EVEN number
+    of negations: NaN comparisons yield False, which `coalesce(tier,
+    False)` makes equivalent — and each NEGATED subterm (veto,
+    ssn_conflict, byear_conflict, geo_conflict, same_dataset) is
+    null-proof by construction (isNotNull guards / non-null inputs /
+    pre-coalesced), mirroring the Column definitions. Parity with the
+    JVM cascade is asserted over an adversarial null grid by
+    tests/test_cascade_parity.py.
+
+    ``sim``: field -> float64 ndarray with NaN as SQL NULL (exactly the
+    arrays `_make_sim_engine` emits). ``score``: float64 ndarray.
+    ``aux``: l_*/r_* -> pyarrow Array for CASCADE_AUX_FIELDS.
+    Returns a bool ndarray (the rows `.where(is_match)` would keep)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    jf, jl = sim["first_name"], sim["last_name"]
+    dob, mid, sex = sim["dob"], sim["middle"], sim["sex"]
+    zp, city = sim["zipcode"], sim["city"]
+    ssn = sim["ssn_digits"]
+
+    def _np(a):
+        return a.to_numpy(zero_copy_only=False)
+
+    lssn, rssn = aux["l_ssn_digits"], aux["r_ssn_digits"]
+    lv, rv = _np(lssn.is_valid()), _np(rssn.is_valid())
+    ll = _np(pc.fill_null(pc.utf8_length(lssn), 0))
+    rl = _np(pc.fill_null(pc.utf8_length(rssn), 0))
+    ssn_eq = _np(pc.fill_null(pc.equal(lssn, rssn), False))
+    ssn_exact = ssn_eq & (ll == 9)
+    # integer levenshtein recovered from the ratio sim (sim = 1 -
+    # lev/max(len), exact over <=12-char digit strings); NaN (a null
+    # side, or Spark's x/0 null on two empties — where levenshtein()
+    # is 0 and can never exceed a threshold) propagates to False
+    mx = np.maximum(ll, rl).astype(np.float64)
+    lev = np.rint((1.0 - ssn) * mx)
+    ssn_near = (ll == 9) & (rl == 9) & (lev <= 2)
+    ssn_conflict = lv & rv & (lev > 4)
+
+    first_missing = ~(_np(aux["l_first_name"].is_valid()) & _np(aux["r_first_name"].is_valid()))
+    mid_compat = np.isnan(mid) | (mid == 1.0)
+    sex_compat = np.isnan(sex) | (sex == 1.0)
+    geo_exact = (zp == 1.0) & (city == 1.0)
+    geo_conflict = zp == 0.0
+    veto = jf < 0.65
+    evidence = (
+        (~np.isnan(jf)).astype(np.int32)
+        + (~np.isnan(jl))
+        + (~np.isnan(dob))
+        + (~np.isnan(mid))
+        + (~np.isnan(zp))
+        + (lv & rv)
+    )
+
+    def _sane_byear(a):
+        # string cast mirrors the Column cast; byear is digits-or-null
+        # by construction (ANSI mode would have rejected junk upstream)
+        y = _np(pc.cast(a, pa.float64()))
+        return np.where((y >= 1850) & (y <= 2100), y, np.nan)
+
+    byear_diff = np.abs(_sane_byear(aux["l_byear"]) - _sane_byear(aux["r_byear"]))
+    byear_agree = byear_diff <= 2
+    byear_conflict = byear_diff > 5
+
+    tier1 = ssn_exact & (
+        (jf >= 0.85)
+        | ((dob >= 0.85) & ~veto)
+        | ((jl >= 0.85) & (np.isnan(jf) | np.isnan(dob)) & (np.isnan(dob) | (dob >= 0.55)) & ~veto)
+    )
+    tier1b = ssn_near & (
+        (jf >= 0.85) | ((dob >= 0.85) & ~veto) | ((jl >= 0.85) & ~veto & (dob >= 0.55))
+    )
+    tier2 = (dob == 1.0) & (jl >= 0.85) & ~ssn_conflict & (
+        ((jf >= 0.85) & (mid_compat | (jf == 1.0)))
+        | (first_missing & mid_compat & sex_compat)
+    )
+    tier3 = (
+        (score >= threshold)
+        & (evidence >= 3)
+        & ~veto
+        & ~ssn_conflict
+        & (np.isnan(jf) | (jf >= 0.78))
+        & (~np.isnan(jf) | ((dob == 1.0) & sex_compat))
+        & (~np.isnan(dob) | (lv & rv))
+    )
+    tier4 = (
+        np.isnan(dob) & (jf >= 0.94) & (jl >= 0.95)
+        & ((mid == 1.0) | geo_exact | byear_agree) & ~byear_conflict
+        & ~veto & sex_compat & ~ssn_conflict & ~geo_conflict
+    )
+    tier5 = (
+        (jl >= 0.95) & ~veto & sex_compat & ~ssn_conflict & ~geo_conflict
+        & (
+            ((jf >= 0.9) & (dob >= 0.875) & mid_compat)
+            | ((jf >= 0.95) & (dob >= 0.55) & (mid == 1.0))
+            | ((jf >= 0.95) & (dob >= 0.55) & geo_exact & mid_compat)
+        )
+    )
+    tier6 = np.isnan(jl) & (jf >= 0.95) & (dob == 1.0) & mid_compat & sex_compat & ~ssn_conflict
+
+    is_match = tier1 | tier1b | tier2 | tier3 | tier4 | tier5 | tier6
+    if same_dataset_distinct:
+        dup_twin = _np(pc.fill_null(pc.equal(aux["l_base_rid"], aux["r_base_rid"]), False))
+        same_ds = _np(pc.fill_null(pc.equal(aux["l_dataset"], aux["r_dataset"]), False))
+        lp, rp = aux["l_period"], aux["r_period"]
+        period_eq = _np(pc.fill_null(pc.equal(lp, rp), False)) | (
+            ~_np(lp.is_valid()) & ~_np(rp.is_valid())
+        )
+        is_match = is_match & (~(same_ds & period_eq) | dup_twin)
+    return is_match
 
 
 def prune_edges_by_ssn_consensus(edges: DataFrame) -> DataFrame:

@@ -131,6 +131,8 @@ def inproc(n: int, max_batches: int, profile: bool) -> None:
 
 
 def leg(cores: int, n: int) -> None:
+    from pyspark.sql import functions as F
+
     from pseudopeople_spark.linkage import scoring
     from pseudopeople_spark.linkage.pipeline import CANONICAL_FIELDS, ResolveConfig
     from pseudopeople_spark.session import get_spark
@@ -156,11 +158,19 @@ def leg(cores: int, n: int) -> None:
     attach = [c for c in CANONICAL_FIELDS if c != "state"] + ["base_rid"]
     emit = ["dataset", "period", "first_name", "byear", "ssn_digits", "base_rid"]
     t0 = time.time()
-    out = scoring.score_pairs_fused(spark, pairs, records, attach, emit_attach=emit)
-    t_setup = time.time() - t0  # toArrow collect + broadcast (eager part)
-    out = scoring.tiered_match(out, cfg.threshold, same_dataset_distinct=True)
     keep = ["id_l", "id_r", "score", "is_match", "l_ssn_digits", "r_ssn_digits"]
-    out.select(*keep).write.mode("overwrite").format("noop").save()
+    if os.environ.get("PP_SCORING_DECIDE", "1") != "0":
+        out = scoring.score_pairs_fused(
+            spark, pairs, records, attach, emit_attach=emit,
+            decide={"threshold": cfg.threshold, "same_dataset_distinct": True},
+        )
+        t_setup = time.time() - t0
+        out.write.mode("overwrite").format("noop").save()
+    else:
+        out = scoring.score_pairs_fused(spark, pairs, records, attach, emit_attach=emit)
+        t_setup = time.time() - t0  # scratch lookup write (eager part)
+        out = scoring.tiered_match(out, cfg.threshold, same_dataset_distinct=True)
+        out.select(*keep).where(F.col("is_match")).write.mode("overwrite").format("noop").save()
     wall = round(time.time() - t0, 2)
     print(json.dumps({
         "cores": cores, "n": n, "pairs": n_pairs, "scoring_sec": wall,
