@@ -421,12 +421,28 @@ def resolve(
     edges = scoring.match_edges(scored, cfg.threshold, same_dataset_distinct=cfg.unique_within_dataset)
 
     def _assignments() -> DataFrame:
-        asg = cluster_records(edges, records)
+        from pseudopeople_spark.linkage import clustering as _cl
+
         if cfg.refine_splits and cfg.unique_within_dataset:
-            # detection = one aggregate over the records-sized
-            # assignment set; the rebuild touches only the (rare,
-            # entity-sized) violating clusters — see linkage.refine
-            asg = refine.split_violating_clusters(asg, edges, records)
+            # Small-edge-set regime (same cap as the CC local finish):
+            # ONE fused driver pass for CC + violation detection +
+            # constrained rebuild — two Spark actions instead of ~8
+            # fixed-latency jobs (refine.local_cluster_and_refine).
+            # Beyond the cap, or for string-id callers, the fully
+            # distributed shape below is the 10^12-record path.
+            if (
+                dict(edges.dtypes).get("id_l") == "bigint"
+                and edges.count() <= _cl.LOCAL_FINISH_MAX_EDGES
+            ):
+                asg = refine.local_cluster_and_refine(edges, records)
+            else:
+                asg = cluster_records(edges, records)
+                # detection = one aggregate over the records-sized
+                # assignment set; the rebuild touches only the (rare,
+                # entity-sized) violating clusters — see linkage.refine
+                asg = refine.split_violating_clusters(asg, edges, records)
+        else:
+            asg = cluster_records(edges, records)
         # translate back to the caller's string ids — one broadcast-size
         # join over the (small) assignment set, never over the pairs
         return (

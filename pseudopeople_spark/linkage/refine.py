@@ -113,6 +113,99 @@ def _rebuild(key, edge_pdf, node_pdf):
     )
 
 
+def local_cluster_and_refine(
+    edges: DataFrame,
+    records: DataFrame,
+    id_col: str = "record_id",
+) -> DataFrame:
+    """ONE driver pass fusing connected components + violation
+    detection + constrained rebuild, for the small-edge-set regime.
+
+    The distributed shape (cluster_records -> split_violating_clusters)
+    costs ~8 Spark jobs of FIXED latency (CC rounds/fingerprints, the
+    assignment checkpoint, the detection aggregate, two collects) — a
+    parallelism-independent ~9 s that caps the pipeline's N->4N scaling
+    efficiency once the scalable stages shrink.  When the match-edge
+    set fits the driver (same cap as clustering's local union-find
+    finish — at 10^12 records it never does and the caller keeps the
+    distributed path), TWO Spark actions suffice: collect the slim edge
+    set and the slim (id, dataset, period, base_rid) meta projection;
+    everything else — vectorized min-label CC, slot-violation
+    detection, the greedy constrained rebuild (:func:`_rebuild`) — is
+    driver-local numpy/pandas.  Output (record_id, cluster_id) covers
+    ALL records (singletons keep their own id), identical by
+    construction to the distributed path (asserted in
+    tests/test_refine.py).
+
+    Requires int64 ids (the rid pipeline's verified-unique surrogates)."""
+    import numpy as np
+    import pandas as pd
+
+    _t = _time.time()
+    e_pdf = edges.select("id_l", "id_r", "score").toPandas()
+    meta_pdf = records.select(id_col, "dataset", "period", "base_rid").toPandas()
+    meta_pdf = meta_pdf.rename(columns={id_col: "record_id"})
+    PROF["refine.local_collect"] = round(_time.time() - _t, 2)
+    _t = _time.time()
+    spark = records.sparkSession
+    all_ids = records.select(F.col(id_col).alias("record_id"))
+    if len(e_pdf) == 0:
+        return all_ids.select("record_id", F.col("record_id").alias("cluster_id"))
+    u = e_pdf["id_l"].to_numpy(dtype="int64")
+    v = e_pdf["id_r"].to_numpy(dtype="int64")
+    # vectorized min-label propagation with pointer jumping — the same
+    # kernel as clustering._local_union_find, converging to the
+    # component-min id label both the star-rounds and _rebuild use
+    ids = np.unique(np.concatenate([u, v]))
+    iu = np.searchsorted(ids, u)
+    iv = np.searchsorted(ids, v)
+    parent = np.arange(len(ids), dtype="int64")
+    while True:
+        m = np.minimum(parent[iu], parent[iv])
+        nxt = parent.copy()
+        np.minimum.at(nxt, iu, m)
+        np.minimum.at(nxt, iv, m)
+        nxt = nxt[nxt]
+        if np.array_equal(nxt, parent):
+            break
+        parent = nxt
+    labels = ids[parent]
+    PROF["refine.local_uf"] = round(_time.time() - _t, 2)
+    _t = _time.time()
+    # detection: every member of a multi-record cluster is edge-
+    # incident (singletons cannot violate), so meta restricted to the
+    # endpoint set covers all candidates
+    node = pd.DataFrame({"record_id": ids, "cluster_id": labels}).merge(
+        meta_pdf, on="record_id", how="left"
+    )
+    per = node["period"].fillna("\x00")  # NULL periods compare equal
+    grp = node.groupby(
+        [node["cluster_id"], node["dataset"], per], sort=False, dropna=False
+    )["base_rid"].nunique()
+    bad = set(grp[grp >= 2].index.get_level_values(0))
+    PROF["refine.local_detect"] = round(_time.time() - _t, 2)
+    if not bad:
+        asg_pdf = node[["record_id", "cluster_id"]]
+    else:
+        _t = _time.time()
+        bad_mask = node["cluster_id"].isin(bad).to_numpy()
+        e_bad = np.isin(labels[iu], list(bad))
+        fixed = _rebuild(None, e_pdf[e_bad], node[bad_mask])
+        asg_pdf = pd.concat(
+            [node.loc[~bad_mask, ["record_id", "cluster_id"]], fixed],
+            ignore_index=True,
+        )
+        PROF["refine.local_rebuild"] = round(_time.time() - _t, 2)
+    _t = _time.time()
+    asg = spark.createDataFrame(asg_pdf, schema="record_id long, cluster_id long")
+    out = all_ids.join(asg, "record_id", "left").select(
+        "record_id",
+        F.coalesce("cluster_id", F.col("record_id")).alias("cluster_id"),
+    )
+    PROF["refine.local_emit"] = round(_time.time() - _t, 2)
+    return out
+
+
 def split_violating_clusters(
     assignments: DataFrame,
     edges: DataFrame,

@@ -103,6 +103,46 @@ def test_local_and_distributed_paths_agree(spark):
     assert local == dist
 
 
+def test_local_fused_path_matches_distributed(spark):
+    """local_cluster_and_refine (one driver pass) must equal
+    cluster_records + split_violating_clusters on the same input —
+    twin merges, null periods, dup twins sharing base_rid, and
+    singleton records all represented."""
+    from pseudopeople_spark.linkage.clustering import cluster_records
+
+    meta = _meta(
+        spark,
+        [
+            # entity A (census/w2/ssa) + entity B bridged via ssa edge
+            (1, "census", "2020", 1), (2, "w2", "2020", 2), (3, "ssa", None, 3),
+            (4, "census", "2020", 4), (5, "w2", "2020", 5),
+            # dup twin: same base_rid in one slot -> exempt, stays merged
+            (6, "census", "2020", 6), (7, "census", "2020", 6),
+            # null-period pair in one dataset -> treated as one slot
+            (8, "ssa", None, 8), (9, "ssa", None, 9),
+            # singleton, no edges
+            (10, "w2", "2030", 10),
+        ],
+    )
+    edges = _edges(
+        spark,
+        [
+            (1, 2, 0.99), (2, 3, 0.97), (3, 4, 0.93), (4, 5, 0.99),
+            (6, 7, 0.96),
+            (8, 9, 0.95),
+        ],
+    )
+    fused = sorted(refine.local_cluster_and_refine(edges, meta).collect())
+    asg = cluster_records(edges, meta)
+    dist = sorted(refine.split_violating_clusters(asg, edges, meta).collect())
+    assert fused == dist
+    by = dict((r["record_id"], r["cluster_id"]) for r in fused)
+    assert by[1] == by[2] == by[3] and by[4] == by[5] and by[1] != by[4]
+    assert by[6] == by[7]          # dup twin exempt from the split
+    assert by[8] != by[9]          # null periods compare equal -> split
+    assert by[10] == 10            # singleton keeps its own id
+
+
 def test_resolve_end_to_end_has_no_violations(spark):
     """After resolve() with refine_splits on, NO cluster may hold two
     base_rids in one (dataset, period) slot."""
