@@ -482,13 +482,17 @@ def main() -> None:
             + f"**End-to-end efficiency relative to the machine's pure-compute ceiling: {eff / ceiling:.3f}**\n\n"
             + f"Ceiling source: {ceiling_src}.\n\n"
             + (
-                f"**Workload-matched hardware ceiling (the honest bound):** the scoring kernel run by\n"
-                f"bare pinned python processes over the SAME {b_hi['n_pairs']:,} materialized pairs — no\n"
-                f"Spark, no shuffle, nothing to 'fix' — scales at **{kern_ceiling}** from {lo}→{hi} pinned\n"
+                f"**Workload-matched hardware reference (the honest bound):** the production\n"
+                f"decide-mode scoring kernel run by bare pinned python processes (static stride\n"
+                f"work split, no Spark, no shuffle, nothing to 'fix') over the SAME\n"
+                f"{b_hi['n_pairs']:,} materialized pairs scales at **{kern_ceiling}** from {lo}→{hi} pinned\n"
                 f"cores (tools/mp_scaling_probe.py, BENCH/KERNEL_CEILING.json). The sha2 ceiling above is\n"
                 f"ALU-only and does not model this string/memory-bandwidth-bound workload; a real cluster\n"
                 f"adds a node's memory bandwidth with every 4x of cores, a single shared-bus host cannot.\n"
-                f"**End-to-end efficiency relative to the kernel ceiling: {eff / kern_ceiling:.3f}**"
+                f"A Spark stage can land slightly ABOVE this reference: dynamic task scheduling\n"
+                f"(>=4 waves per core) balances the Zipf-skewed per-batch costs better than the\n"
+                f"probe's static stride.\n"
+                f"**End-to-end efficiency relative to the kernel reference: {eff / kern_ceiling:.3f}**"
                 + (f"; **scoring-stage: {eff_scoring / kern_ceiling:.3f}**.\n\n" if eff_scoring else ".\n\n")
                 if kern_ceiling else ""
             )

@@ -46,8 +46,14 @@ def worker(n: int, slice_idx: int, n_slices: int) -> None:
         value = rec_tbl
 
     specs = [(s.name, s.kind, s.weight) for s in scoring.DEFAULT_FIELDS]
+    # decide-and-filter mode, exactly the kernel resolve() runs in
+    # production (ResolveConfig defaults: threshold 0.92,
+    # unique_within_dataset True) — the ceiling must measure the SAME
+    # per-pair work as the Spark scoring stage it bounds
     gen = scoring.make_fused_batches(
-        _B(), "record_id", attach, specs, scoring._nickname_families(), 0, 1
+        _B(), "record_id", attach, specs, scoring._nickname_families(), 0, 1,
+        emit_attach=["dataset", "period", "first_name", "byear", "ssn_digits", "base_rid"],
+        decide={"threshold": 0.92, "same_dataset_distinct": True},
     )
     batches = pair_tbl.combine_chunks().to_batches(max_chunksize=20_000)
     mine = batches[slice_idx::n_slices]
