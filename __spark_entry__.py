@@ -1377,6 +1377,85 @@ def streaming_window_agg(spark, sf_dir):
     )
 
 
+@_q(
+    "stream_incremental_link",
+    """WITH rec AS (
+         SELECT c_custkey, c_nationkey, c_name, c_mktsegment
+         FROM customer WHERE c_custkey <= 3000
+       )
+       SELECT l.c_custkey AS id_l, r.c_custkey AS id_r,
+              round((jaro_winkler_similarity(upper(l.c_name), upper(r.c_name)) * 1.0
+                     + (CASE WHEN l.c_mktsegment = r.c_mktsegment THEN 1.0 ELSE 0.0 END) * 0.5)
+                    / 1.5, 6) AS score
+       FROM rec l JOIN rec r
+         ON l.c_nationkey = r.c_nationkey AND l.c_custkey < r.c_custkey
+       WHERE (jaro_winkler_similarity(upper(l.c_name), upper(r.c_name)) * 1.0
+              + (CASE WHEN l.c_mktsegment = r.c_mktsegment THEN 1.0 ELSE 0.0 END) * 0.5)
+             / 1.5 >= 0.95""",
+)
+def stream_incremental_link(spark, sf_dir):
+    """Incremental streaming entity resolution
+    (streaming/stateful.py::link_stream_incremental): records arrive on
+    a file stream in TWO micro-batches (maxFilesPerTrigger=1), each new
+    record is scored against the bounded per-block state ring
+    (applyInPandasWithState keyed on the blocking key — ONE shuffle,
+    the same exchange batch blocking pays), and pairs at or above the
+    threshold stream out as (id_l, id_r, score) with id_l the earlier
+    arrival. Because arrival order is the explicit order column
+    (c_custkey) and the micro-batch split respects it, the emitted set
+    is batching-invariant and the batch self-join above is an EXACT
+    oracle: the weighted two-field score (Jaro-Winkler on name + exact
+    on segment, null-renormalized) is computed by the same engine the
+    batch scorer uses (scoring._make_sim_engine), whose jw kernel is
+    value-exact vs DuckDB's jaro_winkler_similarity (tests/
+    test_similarity.py). Batching-invariance, cross-trigger state, the
+    state-ring cap, and null-field behavior are pytest-covered in
+    tests/test_stream_link.py."""
+    import tempfile
+    import time
+    import uuid
+
+    from pseudopeople_spark.linkage.scoring import FieldSpec
+    from pseudopeople_spark.streaming.stateful import link_stream_incremental
+
+    rec = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 3000)
+        .select("c_custkey", "c_nationkey", "c_name", "c_mktsegment")
+    )
+    base = tempfile.mkdtemp(prefix=f"stream_link_{uuid.uuid4().hex[:8]}_")
+    src = f"{base}/src"
+    # two arrival waves split on the order column, written in order so
+    # the file source's mtime ordering replays them as two triggers
+    mid = 1500
+    rec.where(F.col("c_custkey") <= mid).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(0.3)
+    rec.where(F.col("c_custkey") > mid).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(rec.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    fields = [FieldSpec("c_name", "jw", 1.0), FieldSpec("c_mktsegment", "exact", 0.5)]
+    linked = link_stream_incremental(
+        stream, "c_nationkey", "c_custkey", fields,
+        id_col="c_custkey", threshold=0.95,
+    )
+    qname = f"stream_link_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        linked.writeStream.outputMode("append").format("memory")
+        .queryName(qname).option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True).start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    return spark.table(qname).select(
+        "id_l", "id_r", F.round("score", 6).alias("score")
+    )
+
+
 @_q("simhash_near_dups", PT.simhash_near_dups_sql(PT.DUCKDB, max_hamming=3))
 def simhash_near_dups_query(spark, sf_dir):
     """SimHash near-dup pairs with PIGEONHOLE-COMPLETE banding

@@ -87,3 +87,129 @@ def dedup_stream_first_seen(
     return stream.groupBy(*keys).applyInPandasWithState(
         _first_seen, out_schema, state_schema, "append", timeout
     )
+
+
+def link_stream_incremental(
+    stream: DataFrame,
+    block_key: str,
+    order_col: str,
+    fields,
+    id_col: str = "record_id",
+    threshold: float = 0.9,
+    max_state_per_block: int = 1024,
+    ttl_minutes: int = 0,
+) -> DataFrame:
+    """Incremental record linkage on a stream — the streaming half of
+    ``linkage.pipeline.resolve()``'s blocking+scoring stages, the way
+    :func:`dedup_stream_first_seen` is the streaming half of
+    ``dedup_exact``.
+
+    Each arriving record is scored against the records previously seen
+    in its block (``block_key``), and every pair at or above
+    ``threshold`` is emitted as ``(id_l, id_r, score)`` with ``id_l``
+    the earlier arrival. Arrival order is ``order_col`` (micro-batch
+    row order is not deterministic; an explicit monotone column is),
+    so the emitted pair set is batching-invariant: however the stream
+    is chopped into triggers, the result equals the batch self-join
+    "same block AND order_l < order_r AND score >= threshold".
+
+    ``fields`` is the same ``FieldSpec`` list the batch scorer takes
+    (kinds 'jw' | 'lev' | 'dob' | 'exact'); the sims and the
+    null-renormalized weighted score come from the SAME engine
+    (``scoring._make_sim_engine``), so streaming and batch scores are
+    bit-identical — and for jw/exact specs, DuckDB-replayable.
+
+    Spark execution shape (SURVEY.md §2.E — streaming is ours, the
+    reference is batch-only):
+
+    * ONE shuffle, on ``block_key`` — the same exchange the batch
+      blocking pays; ``applyInPandasWithState`` adds no further
+      exchanges.
+    * State per block is a bounded ring of the last
+      ``max_state_per_block`` arrivals' spec fields (the streaming
+      analogue of the batch pipeline's capped quadratic blocks in
+      ``linkage/pairs.py``): state bytes scale with
+      blocks x cap x field width, never with stream history. A record
+      past the cap horizon no longer pairs — the same trade the batch
+      cap makes, disclosed rather than silent.
+    * Per-trigger work is O(new_rows x state) with the sims VECTORIZED
+      across the state members per new row (one Arrow/numpy kernel
+      call per row, not per pair). ``ttl_minutes`` > 0 additionally
+      evicts cold blocks (processing-time TTL).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from pseudopeople_spark.linkage import scoring as _scoring
+
+    id_type = stream.schema[id_col].dataType
+    spec_cols = [s.name for s in fields]
+    out_schema = T.StructType(
+        [
+            T.StructField("id_l", id_type),
+            T.StructField("id_r", id_type),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("ids", T.ArrayType(id_type))]
+        + [T.StructField(f"f_{c}", T.ArrayType(T.StringType())) for c in spec_cols]
+    )
+    specs = [(s.name, s.kind, s.weight) for s in fields]
+    ttl_ms = int(ttl_minutes * 60 * 1000)
+    cap = int(max_state_per_block)
+
+    def _link(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        compute = _scoring._make_sim_engine({}, specs)
+        if state.exists:
+            st = state.get
+            ids = list(st[0])
+            members = {c: list(st[i + 1]) for i, c in enumerate(spec_cols)}
+        else:
+            ids = []
+            members = {c: [] for c in spec_cols}
+        out_l, out_r, out_s = [], [], []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(order_col, kind="mergesort")
+            for rd in pdf.to_dict("records"):
+                m = len(ids)
+                if m:
+                    col = {}
+                    for c in spec_cols:
+                        v = rd[c]
+                        v = None if (v is None or (isinstance(v, float) and np.isnan(v))) else str(v)
+                        col[f"l_{c}"] = pa.array(members[c], type=pa.string())
+                        col[f"r_{c}"] = pa.array([v] * m, type=pa.string())
+                    arrays, names = compute(col, m)
+                    score = arrays[names.index("score")].to_numpy(zero_copy_only=False)
+                    hit = np.flatnonzero(score >= threshold)
+                    if hit.size:
+                        out_l.extend(ids[j] for j in hit)
+                        out_r.extend([rd[id_col]] * hit.size)
+                        out_s.extend(float(score[j]) for j in hit)
+                ids.append(rd[id_col])
+                for c in spec_cols:
+                    v = rd[c]
+                    members[c].append(
+                        None if (v is None or (isinstance(v, float) and np.isnan(v))) else str(v)
+                    )
+                if len(ids) > cap:
+                    ids = ids[-cap:]
+                    members = {c: members[c][-cap:] for c in spec_cols}
+        state.update(tuple([ids] + [members[c] for c in spec_cols]))
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
+        if out_l:
+            yield pd.DataFrame({"id_l": out_l, "id_r": out_r, "score": out_s})
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout if ttl_ms else GroupStateTimeout.NoTimeout
+    )
+    return stream.groupBy(block_key).applyInPandasWithState(
+        _link, out_schema, state_schema, "append", timeout
+    )
