@@ -1378,6 +1378,56 @@ def streaming_window_agg(spark, sf_dir):
 
 
 @_q(
+    "stream_dedup_first_seen",
+    """WITH m AS (SELECT o_custkey, min(o_orderkey) AS first_key
+                  FROM orders GROUP BY o_custkey)
+       SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+       FROM orders o JOIN m ON o.o_custkey = m.o_custkey
+                           AND o.o_orderkey = m.first_key""",
+)
+def stream_dedup_first_seen_query(spark, sf_dir):
+    """Streaming exact dedup (streaming/stateful.py::
+    dedup_stream_first_seen): keep the FIRST order per customer across
+    micro-batches via applyInPandasWithState keyed state — the
+    streaming half of the dedup_exact hash-groupBy (the batch group
+    never closes on a stream). The stream arrives as two file-source
+    triggers split on the order column, so cross-trigger state
+    suppression is exercised; because the split respects the order
+    column, min-within-first-batch equals the global min and the batch
+    min-per-key SQL above is an exact oracle."""
+    import tempfile
+    import time
+    import uuid
+
+    from pseudopeople_spark.streaming.stateful import dedup_stream_first_seen
+
+    rec = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    mid = [r[0] for r in rec.selectExpr("percentile_approx(o_orderkey, 0.5)").collect()][0]
+    base = tempfile.mkdtemp(prefix=f"stream_dedup_{uuid.uuid4().hex[:8]}_")
+    src = f"{base}/src"
+    rec.where(F.col("o_orderkey") <= mid).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(0.3)
+    rec.where(F.col("o_orderkey") > mid).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(rec.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    dd = dedup_stream_first_seen(stream, ["o_custkey"], "o_orderkey")
+    qname = f"stream_dedup_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        dd.writeStream.outputMode("append").format("memory")
+        .queryName(qname).option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True).start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    return spark.table(qname).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@_q(
     "stream_incremental_link",
     """WITH rec AS (
          SELECT c_custkey, c_nationkey, c_name, c_mktsegment
