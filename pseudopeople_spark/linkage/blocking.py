@@ -203,6 +203,26 @@ def all_block_keys(
             F.concat(F.lit("dms:"), dm["secondary"], F.lit("|"), year),
         ),
         "ssn": F.when(F.length(ssn_col) == 9, F.concat(F.lit("ssn:"), F.col(ssn_col))),
+        # Recall passes for the two dominant miss modes measured at 300k
+        # (tools/diag_blocking_recall.py, round 5): 55% of missed true
+        # pairs had last_name BLANKED/corrupted on one side with the
+        # full DOB intact (every key above needs last_name), and 31%
+        # had intact names but a null/noised DOB (the year salt above
+        # breaks every phonetic key). Neither mode is exotic — they are
+        # the leave_blank + wrong-digits noise channels doing their job.
+        "fnd": F.when(
+            F.col(first_col).isNotNull() & (F.length(dob_col) == 8),
+            F.concat(F.lit("fnd:"), F.soundex(F.upper(F.col(first_col))), F.lit("|"), F.col(dob_col)),
+        ),
+        "nys": F.when(
+            F.col(first_col).isNotNull() & F.col(last_col).isNotNull(),
+            F.concat(
+                F.lit("nys:"),
+                F.soundex(F.upper(F.col(last_col))),
+                F.lit("|"),
+                F.soundex(F.upper(F.col(first_col))),
+            ),
+        ),
     }
 
     keyed = df.select(F.col(id_col).alias("record_id"), *[v.alias(k) for k, v in key_cols.items()])
