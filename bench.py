@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "noise_wrong_digits",
     "noise_duplicate_guardian",
     "noise_phonetic_bounded",
+    "noise_phonetic_retry",
     "noise_ocr_bounded",
     "noise_typo_bounded",
     "streaming_window_agg",

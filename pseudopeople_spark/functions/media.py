@@ -113,17 +113,46 @@ def attach_media_payload(
     return media.mapInPandas(fetch, out_schema)
 
 
+_PIL_UNSET = object()
+_PIL = _PIL_UNSET
+
+
+def _pil():
+    """The ``PIL.Image`` module if Pillow is importable, else None
+    (memoized per Python worker). Optional dependency: the engine never
+    requires it, but uses it for REAL image decode when present."""
+    global _PIL
+    if _PIL is _PIL_UNSET:
+        import importlib.util
+
+        if importlib.util.find_spec("PIL") is not None:
+            from PIL import Image
+
+            _PIL = Image
+        else:
+            _PIL = None
+    return _PIL
+
+
 def _parse_meta(payload: "bytes | None") -> "tuple | None":
     if payload is None:
         return None
     if bytes(payload[:4]) != _MAGIC:
-        # Real decode path: PIL / torchaudio / pyav are not installed in
-        # this container. The plumbing (schema, batching, null handling)
-        # is real; only the pixel decode is stubbed.
-        raise NotImplementedError(
-            "non-PPSF payload: real image/audio decode requires PIL/av, "
-            "not available in this environment"
-        )
+        # Real decode path, gated on the optional Pillow dependency:
+        # when PIL is installed, non-PPSF payloads decode as real images
+        # (JPEG/PNG/...); without it the pixel decode is the documented
+        # stand-in and raises. The plumbing (schema, batching, null
+        # handling) is identical either way.
+        Image = _pil()
+        if Image is None:
+            raise NotImplementedError(
+                "non-PPSF payload: real image decode requires Pillow, "
+                "not available in this environment"
+            )
+        import io
+
+        with Image.open(io.BytesIO(bytes(payload))) as im:
+            return ("image", im.width, im.height, int(getattr(im, "n_frames", 1)))
     kind_i = payload[4]
     width, height, n_frames = struct.unpack("<iii", bytes(payload[5:17]))
     return (_KINDS[kind_i], width, height, n_frames)
@@ -140,16 +169,29 @@ def decode_media_meta(payload: pd.Series) -> pd.DataFrame:
 
 
 def make_resize_udf(target_w: int, target_h: int):
-    """Factory: image-resize pandas UDF. The stand-in re-encodes the
-    PPSF header with the target dimensions and keeps the content bytes
-    (a real implementation decodes + resamples pixels per batch — same
-    signature, same batch shape)."""
+    """Factory: image-resize pandas UDF. PPSF payloads re-encode the
+    header with the target dimensions and keep the content bytes; real
+    image payloads (non-PPSF) are decoded, resampled and re-encoded as
+    PNG when Pillow is installed (same signature, same batch shape;
+    without Pillow the real path raises — see ``_parse_meta``)."""
 
     @F.pandas_udf(T.BinaryType())
     def resize(payload: pd.Series) -> pd.Series:
         def one(p):
             if p is None:
                 return None
+            if bytes(p[:4]) != _MAGIC:
+                Image = _pil()
+                if Image is None:
+                    raise NotImplementedError(
+                        "non-PPSF payload: real image resize requires Pillow"
+                    )
+                import io
+
+                with Image.open(io.BytesIO(bytes(p))) as im:
+                    out = io.BytesIO()
+                    im.resize((target_w, target_h)).save(out, format="PNG")
+                    return out.getvalue()
             meta = _parse_meta(p)
             n_frames = meta[3]
             kind_i = _KINDS.index(meta[0])

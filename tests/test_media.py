@@ -55,7 +55,29 @@ def test_resize_and_frame_sample(media_df):
         assert r["nf"] == (r["n_frames"] + 29) // 30
 
 
-def test_non_ppsf_payload_raises_not_implemented(spark):
+def test_non_ppsf_payload_raises_without_pil(spark):
+    if M._pil() is not None:
+        pytest.skip("Pillow installed: non-PPSF payloads take the real decode path")
     df = spark.createDataFrame([(bytearray(b"JPEGnotreally"),)], "payload binary")
     with pytest.raises(Exception, match="NotImplementedError|PPSF|decode"):
         df.select(M.decode_media_meta("payload")).collect()
+
+
+def test_real_image_decode_with_pil(spark):
+    """Optional-dependency real decode: with Pillow installed a genuine
+    PNG payload decodes (width/height from the actual pixels) and
+    resizes through the SAME UDFs the PPSF stand-in drives; without it,
+    skip-with-reason (the gate is `media._pil()`)."""
+    Image = M._pil()
+    if Image is None:
+        pytest.skip("Pillow not installed in this environment (documented gate)")
+    import io
+
+    buf = io.BytesIO()
+    Image.new("RGB", (20, 10)).save(buf, format="PNG")
+    df = spark.createDataFrame([(bytearray(buf.getvalue()),)], "payload binary")
+    meta = df.select(M.decode_media_meta("payload").alias("m")).select("m.*").collect()[0]
+    assert (meta["kind"], meta["width"], meta["height"], meta["n_frames"]) == ("image", 20, 10, 1)
+    small = df.select(M.make_resize_udf(8, 8)("payload").alias("p")).collect()[0]["p"]
+    with Image.open(io.BytesIO(bytes(small))) as im:
+        assert im.size == (8, 8)

@@ -92,10 +92,22 @@ def test_stream_link_state_ring_forgets_past_cap(spark, tmp_path):
     got = _run_stream(
         spark, tmp_path, [B1, B2, B3], "d", threshold=0.9, max_state_per_block=2
     )
-    pairs = {(r["id_l"], r["id_r"]) for r in got.collect()}
+    rows = got.collect()
+    pairs = {(r["id_l"], r["id_r"]) for r in rows}
     assert pairs == _expected(B1 + B2 + B3, 0.9, cap=2)
     # record 1 aged out of block A's 2-slot ring before 7 arrived
     assert (1, 7) not in pairs and (4, 7) in pairs
+    # eviction observability: every pair is stamped with the block's
+    # cumulative eviction count at scoring time — (1,2) scored before
+    # any eviction; by the time 7 arrived, block A had evicted record 1
+    evs = {(r["id_l"], r["id_r"]): r["block_evictions"] for r in rows}
+    assert evs[(1, 2)] == 0
+    assert evs[(4, 7)] == 1
+
+
+def test_stream_link_no_cap_reports_zero_evictions(spark, tmp_path):
+    got = _run_stream(spark, tmp_path, [B1, B2], "g", threshold=0.9)
+    assert all(r["block_evictions"] == 0 for r in got.collect())
 
 
 def test_stream_link_null_field_never_matches(spark, tmp_path):

@@ -433,7 +433,12 @@ def main() -> None:
     }
     print(json.dumps(summary))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "SCALING.md"), "w") as f:
+    # per-input-size artifacts: SCALING.md is the curated cross-size
+    # summary (hand-maintained); each run writes its own files so a 1M
+    # measurement does not clobber the 300k evidence
+    with open(os.path.join(REPO, "BENCH", f"SCALING_{n}.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    with open(os.path.join(REPO, "BENCH", f"SCALING_{n}.md"), "w") as f:
         f.write(
             "# Scaling evidence — same ER job at N and 4N parallelism\n\n"
             "The north rule's two-cluster-size criterion cannot use a real cluster in this\n"
