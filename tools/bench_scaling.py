@@ -161,6 +161,13 @@ def worker(cores: int, n: int) -> None:
             "spark.network.timeout": "600s",
             "spark.rpc.askTimeout": "600s",
             "spark.executor.heartbeatInterval": "60s",
+            # the OFF-CLOCK quality step broadcast-joins records-sized
+            # label frames into the 100M+-pair candidate set; at 1M
+            # simulants the broadcast build's driver-side collect of a
+            # ~2.5M-row frame exceeds the 1g default (observed: 1056 MiB
+            # of serialized task results -> leg killed AFTER resolve()
+            # had finished). 8g is driver-memory-safe (24g heap).
+            "spark.driver.maxResultSize": "8g",
         },
     )
     records = spark.read.parquet(_input_path(n)).localCheckpoint()
@@ -236,32 +243,38 @@ def worker(cores: int, n: int) -> None:
     # degrade with scale (pairs never compared can never be matched).
     quality = None
     if os.path.exists(os.path.join(_truth_path(n), "_SUCCESS")):
-        from pyspark.sql import functions as F
+        # a failure HERE must not void the leg — the timed region is
+        # already complete (this exact mode lost a clean 1M leg to a
+        # maxResultSize overflow in the broadcast build)
+        try:
+            from pyspark.sql import functions as F
 
-        from pseudopeople_spark.linkage.metrics import (
-            blocking_recall, pairwise_f1_on_candidates,
-        )
+            from pseudopeople_spark.linkage.metrics import (
+                blocking_recall, pairwise_f1_on_candidates,
+            )
 
-        mapping = res["id_mapping"]
-        truth_rid = (
-            spark.read.parquet(_truth_path(n))
-            .join(mapping, "record_id")
-            .select(F.col("rid").alias("record_id"), "simulant_id")
-        )
-        asg_rid = (
-            res["assignments"]
-            .join(mapping, "record_id")
-            .select(F.col("rid").alias("record_id"), "cluster_id")
-        )
-        f1 = pairwise_f1_on_candidates(res["pairs"], asg_rid, truth_rid)
-        br = blocking_recall(res["pairs"], truth_rid)
-        quality = {
-            "pairwise_f1": round(f1["f1"], 5),
-            "precision": round(f1["precision"], 5),
-            "recall": round(f1["recall"], 5),
-            "blocking_recall": round(br["recall"], 5),
-            "true_pairs": br["true_pairs"],
-        }
+            mapping = res["id_mapping"]
+            truth_rid = (
+                spark.read.parquet(_truth_path(n))
+                .join(mapping, "record_id")
+                .select(F.col("rid").alias("record_id"), "simulant_id")
+            )
+            asg_rid = (
+                res["assignments"]
+                .join(mapping, "record_id")
+                .select(F.col("rid").alias("record_id"), "cluster_id")
+            )
+            f1 = pairwise_f1_on_candidates(res["pairs"], asg_rid, truth_rid)
+            br = blocking_recall(res["pairs"], truth_rid)
+            quality = {
+                "pairwise_f1": round(f1["f1"], 5),
+                "precision": round(f1["precision"], 5),
+                "recall": round(f1["recall"], 5),
+                "blocking_recall": round(br["recall"], 5),
+                "true_pairs": br["true_pairs"],
+            }
+        except Exception as exc:  # noqa: BLE001 — report, don't void the leg
+            quality = {"error": str(exc)[:300]}
     print(json.dumps({
         "cores": cores,
         "n_simulants": n,
@@ -515,7 +528,7 @@ def main() -> None:
                 f"(precision {b_hi['quality']['precision']}, recall {b_hi['quality']['recall']}), "
                 f"blocking recall = {b_hi['quality']['blocking_recall']} over "
                 f"{b_hi['quality']['true_pairs']:,} true pairs.\n\n"
-                if b_hi.get("quality") else ""
+                if (b_hi.get("quality") and "pairwise_f1" in b_hi["quality"]) else ""
             )
             + f"Sorted-neighborhood window-partition skew (2-char sort-key prefix): "
             f"`{b_hi.get('snb_partition_hist')}` — the max-share column is the Amdahl bound on\n"

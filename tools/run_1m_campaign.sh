@@ -19,10 +19,14 @@ fi
 echo "=== scoring inputs prepared $(date) ==="
 
 # 3. workload-matched kernel ceiling at THIS input size
-#    (preserve the 300k artifact first)
+#    (preserve the 300k artifact first; skip if already measured)
 cp -n BENCH/KERNEL_CEILING.json BENCH/KERNEL_CEILING_300000.json
-python tools/mp_scaling_probe.py ${N} 2,8 2 --write || exit 1
-cp BENCH/KERNEL_CEILING.json BENCH/KERNEL_CEILING_${N}.json
+if [ ! -f "BENCH/KERNEL_CEILING_${N}.json" ]; then
+  python tools/mp_scaling_probe.py ${N} 2,8 2 --write || exit 1
+  cp BENCH/KERNEL_CEILING.json BENCH/KERNEL_CEILING_${N}.json
+else
+  cp BENCH/KERNEL_CEILING_${N}.json BENCH/KERNEL_CEILING.json
+fi
 echo "=== kernel ceiling done $(date) ==="
 
 # 4. the pinned N/4N Spark legs (writes BENCH/SCALING_1000000.{md,json})
