@@ -32,7 +32,15 @@ def pairwise_f1_on_candidates(
     r = both.select(
         F.col("record_id").alias("id_r"), F.col("label").alias("label_r"), F.col("cluster_id").alias("cl_r")
     )
-    scored = candidate_pairs.join(l, "id_l").join(r, "id_r")
+    # shuffle-hash, not broadcast: the label frames are records-sized
+    # (2.5M rows at the 1M-simulant bench) and the candidate set is
+    # 100M+ pairs — a broadcast of the label side must be built in the
+    # DRIVER, which at that size dies on maxResultSize/MemoryStore
+    # (observed live: both 1M hi legs lost their quality numbers to it).
+    # Hash-partitioned joins never stage the table driver-side.
+    scored = candidate_pairs.join(l.hint("shuffle_hash"), "id_l").join(
+        r.hint("shuffle_hash"), "id_r"
+    )
     agg = scored.agg(
         F.sum(((F.col("label_l") == F.col("label_r")) & (F.col("cl_l") == F.col("cl_r"))).cast("long")).alias("tp"),
         F.sum(((F.col("label_l") != F.col("label_r")) & (F.col("cl_l") == F.col("cl_r"))).cast("long")).alias("fp"),
@@ -68,5 +76,11 @@ def blocking_recall(
         .select("id_l", "id_r")
     )
     total = true_pairs.count()
-    found = true_pairs.join(candidate_pairs, ["id_l", "id_r"], "left_semi").count()
+    # the candidate side is the BUILD side of a left-semi join and must
+    # never broadcast (122M pairs ≈ 11.3 GiB serialized at the 1M bench
+    # — observed attempted); a left-side hint is unsupported for semi
+    # joins, so pin the strategy on the right side
+    found = true_pairs.join(
+        candidate_pairs.hint("shuffle_hash"), ["id_l", "id_r"], "left_semi"
+    ).count()
     return {"true_pairs": total, "found_pairs": found, "recall": found / total if total else 1.0}

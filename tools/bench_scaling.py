@@ -242,7 +242,12 @@ def worker(cores: int, n: int) -> None:
     # same blocking key); blocking recall is the component that can
     # degrade with scale (pairs never compared can never be matched).
     quality = None
-    if os.path.exists(os.path.join(_truth_path(n), "_SUCCESS")):
+    # quality is OFF the clock but not free wall-clock: the F1/recall
+    # joins sweep the full candidate set (122M pairs at 1M simulants),
+    # which at 2 pinned cores costs ~15+ min per leg. Only the hi
+    # level's quality is reported (the writer reads b_hi), so skip it
+    # on the slow lo legs.
+    if cores >= 8 and os.path.exists(os.path.join(_truth_path(n), "_SUCCESS")):
         # a failure HERE must not void the leg — the timed region is
         # already complete (this exact mode lost a clean 1M leg to a
         # maxResultSize overflow in the broadcast build)
