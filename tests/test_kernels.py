@@ -79,3 +79,52 @@ def test_apply_token_noise_plan_determinism_across_partitions(spark):
     db = {r["record_id"]: r["name"] for r in b.collect()}
     assert da == db
     assert any(v != "Johnson" for v in da.values())
+
+
+def test_oracle_retry_instance_executes_shorter_token_loop():
+    """The `noise_phonetic_retry` entry query's bounded instance must
+    actually EXECUTE the shorter-token retry (kernels.py length loop
+    running >= 2 iterations at one position: failed 2-char draw ->
+    independent 1-char draw) — this pins the claim that the oracle
+    covers that branch, rather than structurally skipping it the way
+    the non-overlapping `noise_phonetic_bounded` table does."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod", os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py")
+    )
+    E = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(E)
+    from pseudopeople_spark.operators.kernels import _salt
+
+    draw = E._make_scan_draw("phonetic_retry")
+    salt = _salt(E.SEED, "phonetic_retry")
+    rules = {a: tuple(b) for a, b in E._PR_RULES.items()}
+    two = [k for k in rules if len(k) == 2][0]
+    assert two[0] in rules, "retry instance must OVERLAP (2-char head is a 1-char rule)"
+
+    seen = {"two_draws": 0, "retry_draws": 0, "retry_success": 0}
+    orig = draw
+
+    def counting_draw(row_key, i, L, which):
+        u = orig(row_key, i, L, which)
+        name = E._PR_NAMES[row_key % 8]
+        if which == 0 and name[i : i + 2] == two:
+            if L == 2:
+                seen["two_draws"] += 1
+            elif L == 1:
+                # the kernel only asks for the 1-char draw at a 2-char
+                # match position AFTER the 2-char draw failed = the retry
+                seen["retry_draws"] += 1
+                if u < E._PB_TP:
+                    seen["retry_success"] += 1
+        return u
+
+    for k in range(512):
+        _corrupt_tokens_one(
+            E._PR_NAMES[k % 8], k, salt, rules, 2, E._PB_TP, draw=counting_draw
+        )
+    assert seen["two_draws"] > 0
+    assert seen["retry_draws"] > 0, "shorter-token loop never reached iteration 2"
+    assert seen["retry_success"] > 0, "retry arm never actually corrupted"
