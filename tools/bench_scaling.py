@@ -427,12 +427,20 @@ def main() -> None:
     # real cluster adds memory bandwidth with every node; this
     # single-host proxy cannot.
     kern_ceiling = None
-    kern_p = os.path.join(REPO, "BENCH", "KERNEL_CEILING.json")
-    if os.path.exists(kern_p):
-        with open(kern_p) as f:
-            kc = json.load(f)
-        if kc.get("lo") == lo and kc.get("hi") == hi:
-            kern_ceiling = kc["kernel_scaling_efficiency"]
+    # prefer the per-input-size artifact: the ceiling is workload-
+    # matched only when measured over the SAME materialized pair set
+    for kern_p in (
+        os.path.join(REPO, "BENCH", f"KERNEL_CEILING_{n}.json"),
+        os.path.join(REPO, "BENCH", "KERNEL_CEILING.json"),
+    ):
+        if os.path.exists(kern_p):
+            with open(kern_p) as f:
+                kc = json.load(f)
+            if kc.get("lo") == lo and kc.get("hi") == hi and (
+                kc.get("n") == n or "KERNEL_CEILING_" in kern_p
+            ):
+                kern_ceiling = kc["kernel_scaling_efficiency"]
+                break
     summary = {
         "metric": f"scaling_efficiency_{lo}_to_{hi}_cores",
         "value": round(eff, 3),
