@@ -81,6 +81,15 @@ def pairs_from_blocks(
     # followers (record ids are effectively random within a block, so
     # this is a uniform sample of the quadratic pair set, and the pairs
     # a sweep misses are covered by the other blocking passes).
+    # MEASURED LIMIT of that coverage claim (round 5, 1M simulants,
+    # tools/diag_blocking_recall.py): once Zipf-head (surname, year)
+    # blocks outgrow the cap, same-last+same-dob pairs with a BLANKED
+    # first name are covered by no other pass and the random-order
+    # sweep samples past them — 80% of the 1M misses (blocking recall
+    # 0.984@300k -> 0.957@1M). Next-step fix, same pair budget: order
+    # this sweep window by dob (same-dob records become adjacent)
+    # instead of record id. Deliberately not changed in round 5: the
+    # recorded scaling measurements pin the committed candidate set.
     w_near = Window.partitionBy("block_key").orderBy("record_id").rowsBetween(1, neighborhood_window)
     big = sized.where(F.col("_bs") > max_block_size)
     sweep = (
