@@ -37,6 +37,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _par(spark: SparkSession) -> int:
+    """Scale-adaptive parallelism for operators whose OUTPUT explodes
+    quadratically from a small input: the test tables are single-row-
+    group parquet files, so their scans get ONE task no matter the
+    core count, and Spark sizes every downstream stage by input bytes —
+    a pair self-join then runs its n^2 expansion on one core (observed:
+    jaro_winkler_scoring, 450M output pairs from a 150k-row scan, 1
+    task, 36 s). An explicit round-robin repartition before the
+    expansion is the guide §2.5/§8 fix: we know the blow-up factor,
+    the optimizer does not. Derived from the session's parallelism —
+    never a local constant — so the same code spreads on a cluster."""
+    return spark.sparkContext.defaultParallelism
+
+
 # ===========================================================================
 # entry — flagship ER pipeline
 # ===========================================================================
@@ -1031,8 +1045,11 @@ def blocking_pairs(spark, sf_dir):
     """Within-block candidate-pair self-join with id_l < id_r (the core
     ER pair-gen shape) + built-in levenshtein scoring."""
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size", "p_name")
-    l = p.alias("l")
-    r = p.alias("r")
+    # probe side spread over the cores before the quadratic expansion
+    # (single-row-group scan -> 1 task otherwise; see _par; 4x for
+    # straggler smoothing)
+    l = p.repartition(4 * _par(spark)).alias("l")
+    r = F.broadcast(p).alias("r")
     return (
         l.join(r, (F.col("l.p_brand") == F.col("r.p_brand")) & (F.col("l.p_size") == F.col("r.p_size")))
         .where(F.col("l.p_partkey") < F.col("r.p_partkey"))
@@ -1056,8 +1073,12 @@ def jaro_winkler_scoring(spark, sf_dir):
     """Batched Jaro-Winkler over within-block pairs — the Arrow pandas
     UDF verified value-exact against DuckDB's implementation."""
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_name")
-    l = c.alias("l")
-    r = c.alias("r")
+    # probe side spread over the cores (the join multiplies each probe
+    # row by ~|block|; see _par; 4x for straggler smoothing — a 32-task
+    # stage on 32 cores doubles its wall on one slow task), build side
+    # broadcast — same rows out
+    l = c.repartition(4 * _par(spark)).alias("l")
+    r = F.broadcast(c).alias("r")
     return (
         l.join(r, F.col("l.c_nationkey") == F.col("r.c_nationkey"))
         .where(F.col("l.c_custkey") < F.col("r.c_custkey"))
@@ -1176,13 +1197,24 @@ def dedup_char_jaccard(spark, sf_dir):
     (lead(k), k<=8) so one hot (lang, length) bucket can never explode
     n^2 at 100 TB (the pairs_from_blocks cap-and-sweep pattern,
     linkage/pairs.py:27-59). The oracle replays cap + sweep exactly."""
-    # char set computed ONCE per doc (scan side), not per candidate pair
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.floor(F.col("n_chars") / 200).alias("bucket"),
-        F.array_distinct(F.split("text", "")).alias("chars"),
+    # char set computed ONCE per doc (scan side), not per candidate
+    # pair. The scan is repartitioned so the array_distinct(split())
+    # projection — the dominant per-doc cost — runs on every core
+    # (single-row-group scan pins it to 1 task otherwise; see _par),
+    # and the result is materialized ONCE (localCheckpoint) so the
+    # quad probe, quad build and sweep branches do not each recompute
+    # the char sets (3x the dominant cost before).
+    d = (
+        _t(spark, sf_dir, "documents")
+        .repartition(_par(spark))
+        .select(
+            "doc_id", "lang", F.floor(F.col("n_chars") / 200).alias("bucket"),
+            F.array_distinct(F.split("text", "")).alias("chars"),
+        )
+        .localCheckpoint()
     )
     sizes = d.groupBy("lang", "bucket").agg(F.count("*").alias("bs"))
-    db = d.join(sizes, ["lang", "bucket"])
+    db = d.join(F.broadcast(sizes), ["lang", "bucket"])
 
     small = db.where(F.col("bs") <= _DCJ_CAP)
     l, r = small.alias("l"), small.alias("r")
@@ -1335,10 +1367,18 @@ def ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k — the exact baseline for similarity
     search. Dot product via zip_with/aggregate (JVM), ranking via
     window. The LSH-bucketed scale path is `minhash_blocks`."""
-    e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    # candidate side repartitioned so the q x c dot products run on
+    # every core (single-row-group scan -> 1 task otherwise; see _par);
+    # the 5-row query side reads the scan directly and is broadcast
+    base = _t(spark, sf_dir, "embeddings")
+    cast_e = F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    e = base.repartition(_par(spark)).select("vec_id", cast_e)
+    q = F.broadcast(
+        base.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("qe"),
+        )
     )
-    q = e.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"))
     c = e.select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
 
     def dot(a, b):
@@ -1571,10 +1611,17 @@ def simhash_near_dups_query(spark, sf_dir):
     oracle replays the whole pipeline value-exact. The signature is
     materialized once before the banding self-join (Spark would inline
     a CTE into every band branch)."""
-    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    # repartition ahead of the signature expressions: the 30 per-bit
+    # reduces over the token-hash array are the dominant cost and a
+    # single-row-group scan would evaluate them all on 1 task (_par)
+    _t(spark, sf_dir, "documents").repartition(_par(spark)).createOrReplaceTempView("documents")
     sigs = spark.sql(PT.simhash_sigs_relation_sql(PT.SPARK)).localCheckpoint()
     sigs.createOrReplaceTempView("simhash_sigs")
-    return spark.sql(PT.simhash_pairs_from_sigs_sql(PT.SPARK, "simhash_sigs", max_hamming=3))
+    # first_band_only deletes the cross-band DISTINCT exchange (same
+    # pair set by construction; oracle keeps DISTINCT and verifies)
+    return spark.sql(
+        PT.simhash_pairs_from_sigs_sql(PT.SPARK, "simhash_sigs", max_hamming=3, first_band_only=True)
+    )
 
 
 @_q("ann_ivf_topk", PT.ann_lsh_topk_sql(PT.DUCKDB))
@@ -1587,7 +1634,9 @@ def ann_ivf_topk_query(spark, sf_dir):
     k-means-trained IVF variant (functions/ann.py) is the adaptive
     scale path, pytest-verified for recall vs brute force and
     partition invariance."""
-    _t(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    # spread the per-element plane-dot expressions over the cores
+    # (single-row-group scan -> 1 task otherwise; see _par)
+    _t(spark, sf_dir, "embeddings").repartition(_par(spark)).createOrReplaceTempView("embeddings")
     return spark.sql(PT.ann_lsh_topk_sql(PT.SPARK))
 
 
@@ -1597,7 +1646,9 @@ def soundex_blocks(spark, sf_dir):
     + replace-cascade collapse, functions/portable.py) so the DuckDB
     oracle — which has no soundex builtin — evaluates the identical
     expression."""
-    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    # spread the translate/replace-cascade soundex expression over the
+    # cores (single-row-group scan -> 1 task otherwise; see _par)
+    _t(spark, sf_dir, "part").repartition(_par(spark)).createOrReplaceTempView("part")
     return spark.sql(PT.soundex_blocks_sql(PT.SPARK))
 
 
@@ -1625,7 +1676,9 @@ def dedup_embedding_cosine(spark, sf_dir):
     synthetic embeddings are near-orthogonal (max pairwise cosine ~0.5),
     so the threshold sits at the ~99th percentile to exercise the
     operator; a production near-dup run sets ~0.95."""
-    _t(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    # spread bucket assignment + the within-bucket pair dot products
+    # over the cores (single-row-group scan -> 1 task otherwise; _par)
+    _t(spark, sf_dir, "embeddings").repartition(_par(spark)).createOrReplaceTempView("embeddings")
     return spark.sql(PT.embedding_near_dup_sql(PT.SPARK, threshold=0.3))
 
 

@@ -217,21 +217,50 @@ def simhash_sigs_relation_sql(d: Dialect, prefix_len: int = 200,
 
 
 def simhash_pairs_from_sigs_sql(d: Dialect, sigs_rel: str, max_hamming: int = 3,
-                                bits: int = SIMHASH_BITS) -> str:
+                                bits: int = SIMHASH_BITS,
+                                first_band_only: bool = False) -> str:
     """Banding + Hamming verification over an existing (doc_id, sig)
-    relation (see :func:`simhash_near_dups_sql` for semantics)."""
+    relation (see :func:`simhash_near_dups_sql` for semantics).
+
+    ``first_band_only`` replaces the cross-band ``DISTINCT`` (a full
+    shuffle of the pre-dedup pair set — 4x duplicated at 4 bands) with
+    a predicate that emits a pair ONLY from the lowest-numbered band
+    both rows share: for band i require that no band k < i also
+    matches. Same distinct pair set by construction (a pair sharing any
+    band within the Hamming bound still has a unique lowest shared
+    band), and hamming is a pure function of the two sigs, so the
+    emitted rows are identical — verified value-exact vs the DISTINCT
+    formulation by the DuckDB oracle (which keeps DISTINCT). The Spark
+    runtime path uses it to delete the dedup exchange outright
+    (guide §2.4); the map-side-agg'd DISTINCT is kept for dialect
+    engines where the filter would not be planned better."""
     n_bands = max_hamming + 1
     widths = [bits // n_bands + (1 if i < bits % n_bands else 0) for i in range(n_bands)]
     band_selects = []
+    band_vals = []
     off = 0
     for i, w in enumerate(widths):
         band_val = f"({d.idiv('sig', str(1 << off))} % {1 << w})"
+        band_vals.append(f"({d.idiv('SIDE.sig', str(1 << off))} % {1 << w})")
         band_selects.append(
             f"SELECT {i} AS band_no, {band_val} AS band_val, doc_id, sig FROM {sigs_rel}"
         )
         off += w
     banded = " UNION ALL ".join(band_selects)
     ham = f"bit_count({d.xor('l.sig', 'r.sig')})"
+    if first_band_only:
+        no_earlier = " AND ".join(
+            f"NOT (l.band_no > {k} AND {band_vals[k].replace('SIDE', 'l')} = "
+            f"{band_vals[k].replace('SIDE', 'r')})"
+            for k in range(n_bands - 1)
+        )
+        return (
+            f"WITH banded AS ({banded}) "
+            f"SELECT l.doc_id AS id_l, r.doc_id AS id_r, "
+            f"CAST({ham} AS BIGINT) AS hamming "
+            f"FROM banded l JOIN banded r ON l.band_no = r.band_no AND l.band_val = r.band_val "
+            f"WHERE l.doc_id < r.doc_id AND {ham} <= {max_hamming} AND {no_earlier}"
+        )
     return (
         f"WITH banded AS ({banded}) "
         f"SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r, "

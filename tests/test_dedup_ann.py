@@ -225,3 +225,27 @@ def test_streaming_stateful_dedup_first_seen(spark, tmp_path):
     q.awaitTermination(120)
     got2 = {(r["k"], r["seq"]) for r in spark.read.parquet(out).collect()}
     assert got2 == {("a", 1), ("b", 7), ("c", 3)}
+
+
+def test_simhash_first_band_only_equals_distinct(spark):
+    """The Spark runtime path's first-band-only banding (which deletes
+    the cross-band DISTINCT exchange) must emit exactly the DISTINCT
+    formulation's pair set — same ids, same hamming."""
+    from pseudopeople_spark.functions import portable as PT
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {'epsilon' if i % 7 else 'zeta'} tok{i % 3}") for i in range(300)],
+        ["doc_id", "text"],
+    ).repartition(4)
+    docs.createOrReplaceTempView("documents")
+    sigs = spark.sql(PT.simhash_sigs_relation_sql(PT.SPARK)).localCheckpoint()
+    sigs.createOrReplaceTempView("_sigs_fbo_test")
+    a = spark.sql(
+        PT.simhash_pairs_from_sigs_sql(PT.SPARK, "_sigs_fbo_test", max_hamming=3)
+    ).collect()
+    b = spark.sql(
+        PT.simhash_pairs_from_sigs_sql(PT.SPARK, "_sigs_fbo_test", max_hamming=3, first_band_only=True)
+    ).collect()
+    ka = sorted((r["id_l"], r["id_r"], r["hamming"]) for r in a)
+    kb = sorted((r["id_l"], r["id_r"], r["hamming"]) for r in b)
+    assert ka == kb and len(ka) > 0

@@ -32,6 +32,37 @@ def test_jaro_winkler_matches_duckdb_exactly():
         assert jaro_winkler(a, b) == d, (a, b)
 
 
+def test_jw_batch_matches_scalar():
+    """The vectorized batch kernel behind jaro_winkler_udf must be
+    value-IDENTICAL (same float64 ops, same order) to the scalar
+    kernel the DuckDB-parity test pins — including empties, equal
+    strings, the Winkler prefix boost, transpositions, unicode, and
+    the >64-char scalar fallback."""
+    from pseudopeople_spark.functions.similarity import jaro_winkler_batch
+
+    random.seed(11)
+    cases = [("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"), ("", ""), ("", "A"), ("A", ""),
+             ("SMITH", "SMITH"), ("ünïcø", "unico"), ("x" * 70, "x" * 69 + "y")]
+    cases += [
+        (
+            "".join(random.choices(string.ascii_uppercase[:8] + "# 0", k=random.randint(0, 14))),
+            "".join(random.choices(string.ascii_uppercase[:8] + "# 0", k=random.randint(0, 14))),
+        )
+        for _ in range(3000)
+    ]
+    xs = [c[0] for c in cases]
+    ys = [c[1] for c in cases]
+    got = jaro_winkler_batch(xs, ys)
+    for i, (a, b) in enumerate(cases):
+        if a == b:
+            exp = 1.0 if a else 0.0
+        elif not a or not b:
+            exp = 0.0
+        else:
+            exp = jaro_winkler(a, b)
+        assert got[i] == exp, (a, b, got[i], exp)
+
+
 def test_jaro_winkler_udf(spark):
     df = spark.createDataFrame([("MARTHA", "MARHTA"), ("A", None)], ["a", "b"])
     rows = df.select(jaro_winkler_udf("a", "b").alias("s")).collect()
