@@ -212,6 +212,15 @@ def make_frame_sample_udf(every_n: int = 30):
         def one(p):
             if p is None:
                 return None
+            if bytes(p[:4]) != _MAGIC:
+                # mirror the resize UDF's explicit gate: _parse_meta would
+                # decode a real image here, but the sampler below slices
+                # p[17:] assuming the PPSF layout — emitting PPSF-tagged
+                # frames over arbitrary image tail bytes is silent
+                # corruption, not a sample
+                raise NotImplementedError(
+                    "non-PPSF payload: real video/frame decode is not implemented"
+                )
             kind, w, h, n_frames = _parse_meta(p)
             frames = []
             for idx in range(0, n_frames, every_n):

@@ -173,6 +173,13 @@ def link_stream_incremental(
 
     id_type = stream.schema[id_col].dataType
     spec_cols = [s.name for s in fields]
+    # the string cast below must not touch the id/order columns: a cast
+    # id would silently emit string ids while out_schema still declares
+    # the pre-cast id_type (a confusing Arrow type error at runtime)
+    if id_col in spec_cols:
+        raise ValueError(f"id_col {id_col!r} cannot also be a scored field")
+    if order_col in spec_cols:
+        raise ValueError(f"order_col {order_col!r} cannot also be a scored field")
     # batch-independent string form for the keyed state (see docstring)
     stream = stream.select(
         *[
@@ -209,7 +216,10 @@ def link_stream_incremental(
             st = state.get
             ids = list(st[0])
             members = {c: list(st[i + 1]) for i, c in enumerate(spec_cols)}
-            evictions = int(st[len(spec_cols) + 1] or 0)
+            # read defensively: a checkpoint written before the
+            # 'evictions' field was added deserializes to a shorter
+            # state tuple — treat it as zero instead of indexing past it
+            evictions = int(st[len(spec_cols) + 1] or 0) if len(st) > len(spec_cols) + 1 else 0
         else:
             ids = []
             members = {c: [] for c in spec_cols}

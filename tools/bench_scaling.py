@@ -136,7 +136,7 @@ def _tree_cpu_seconds(root_pid: int) -> float:
     return total
 
 
-def worker(cores: int, n: int) -> None:
+def worker(cores: int, n: int, quality_cores: int = 8) -> None:
     sys.path.insert(0, REPO)
     import threading
 
@@ -247,7 +247,7 @@ def worker(cores: int, n: int) -> None:
     # which at 2 pinned cores costs ~15+ min per leg. Only the hi
     # level's quality is reported (the writer reads b_hi), so skip it
     # on the slow lo legs.
-    if cores >= 8 and os.path.exists(os.path.join(_truth_path(n), "_SUCCESS")):
+    if cores >= quality_cores and os.path.exists(os.path.join(_truth_path(n), "_SUCCESS")):
         # a failure HERE must not void the leg — the timed region is
         # already complete (this exact mode lost a clean 1M leg to a
         # maxResultSize overflow in the broadcast build)
@@ -309,7 +309,8 @@ def worker(cores: int, n: int) -> None:
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
-        worker(int(sys.argv[2]), int(sys.argv[3]))
+        worker(int(sys.argv[2]), int(sys.argv[3]),
+               int(sys.argv[4]) if len(sys.argv) > 4 else 8)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--prepare":
         prepare(int(sys.argv[2]))
@@ -337,7 +338,10 @@ def main() -> None:
         # taskset emulates a real cluster's per-executor core limit.
         out = subprocess.run(
             ["taskset", "-c", f"0-{cores - 1}",
-             sys.executable, __file__, "--worker", str(cores), str(n)],
+             # hi is passed so the off-clock quality step gates on
+             # "this is the hi leg", not on a hardcoded cores >= 8 (a
+             # lo=1 hi=4 run would otherwise silently skip quality)
+             sys.executable, __file__, "--worker", str(cores), str(n), str(hi)],
             capture_output=True, text=True, cwd=REPO,
         )
         lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
