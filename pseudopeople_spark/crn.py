@@ -43,15 +43,32 @@ _MINSTD_A = 48271
 _MINSTD_M = 2147483647  # 2**31 - 1
 
 
+def fold_salt64(seed: int | str, decision: str) -> int:
+    """Fold (seed, decision) into ONE signed-int64 literal at plan-build
+    time (FNV-1a). The previous draw shape hashed the two components as
+    per-row STRING literals — xxhash64 walked ~30 literal bytes for
+    every draw of every row; with ~60 draws/row in the census noise
+    plan that was the single largest expression cost (measured 3.5x on
+    a 40-draw microbench). Folding them driver-side leaves the per-row
+    work at one fixed-width hash."""
+    acc = 0xCBF29CE484222325
+    for ch in f"{seed}|{decision}":
+        acc = ((acc ^ ord(ch)) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return acc - 2**64 if acc >= 2**63 else acc
+
+
 def hash_u01(key: Column | str, seed: int | str, decision: str) -> Column:
     """Uniform [0,1) draw keyed by (seed, decision, record key).
 
-    JVM-side: xxhash64 over the three components, low 40 bits → double.
+    JVM-side: xxhash64 over (folded salt, key), low 40 bits → double.
     Stable under repartitioning because the only inputs are literals and
-    the record key column.
-    """
+    the record key column. (seed, decision) are folded into one int64
+    at plan time (:func:`fold_salt64`); the key column is hashed in its
+    native type — callers with a string id column that draw MANY times
+    per row should pre-hash it once (``xxhash64(id)``) and pass the
+    int64 (see noise.noise_dataset's ``__crn64``)."""
     key = F.col(key) if isinstance(key, str) else key
-    h = F.xxhash64(F.lit(str(seed)), F.lit(decision), key.cast("string"))
+    h = F.xxhash64(F.lit(fold_salt64(seed, decision)).cast("bigint"), key)
     return F.pmod(h, F.lit(2**40)).cast("double") / F.lit(_TWO40)
 
 

@@ -67,6 +67,16 @@ def noise_dataset(
             if p > 0:
                 df = rn.omit_rows(df, key_col, p=p, seed=seed)
 
+    # --- one int64 CRN base key for ALL column-noise draws: the string
+    # record id is hashed ONCE per row here instead of inside every
+    # draw (~60 draws/row hash the key; hashing a fixed-width int64 is
+    # ~3.5x cheaper than re-walking the id string — see crn.hash_u01).
+    # Computed AFTER row noise so guardian-duplicated rows (new ids) get
+    # their own base key. Draws stay keyed only by record identity:
+    # partition/executor invariance is unchanged.
+    crn_key = "__crn64"
+    df = df.withColumn(crn_key, F.xxhash64(F.col(key_col)))
+
     # --- eligibility-scaling proportions (reference noise_scaling.py:
     # 26-45): ONE aggregate over the row-noised data computes every
     # proportion the scaled operators need, crossJoined ONCE as a
@@ -129,42 +139,42 @@ def noise_dataset(
                 continue
             tp = params.get("token_probability", 0.1)
             if nt == D.LEAVE_BLANK:
-                df = cn.leave_blank(df, col.name, key_col, p=p, seed=seed)
+                df = cn.leave_blank(df, col.name, crn_key, p=p, seed=seed)
             elif nt == D.CHOOSE_WRONG_OPTION:
                 # draw universe: the asset table (reference
                 # incorrect_select_options.csv order) — col.options is
                 # only a fallback for columns the reference CSV lacks
                 opts = assets.select_options_for(col.name) or col.options
-                df = cn.choose_wrong_option(df, col.name, key_col, options=opts, p=p, seed=seed)
+                df = cn.choose_wrong_option(df, col.name, crn_key, options=opts, p=p, seed=seed)
             elif nt == D.COPY_FROM_HOUSEHOLD_MEMBER:
                 if col.copy_column and col.copy_column in df.columns:
                     df = cn.copy_from_household_member(
-                        df, col.name, key_col, col.copy_column, p=p, seed=seed,
+                        df, col.name, crn_key, col.copy_column, p=p, seed=seed,
                         proportion_col=prop_cols.get((col.name, nt)),
                     )
             elif nt == D.SWAP_MONTH_AND_DAY:
-                df = cn.swap_month_and_day(df, col.name, key_col, date_format=spec.date_format, p=p, seed=seed)
+                df = cn.swap_month_and_day(df, col.name, crn_key, date_format=spec.date_format, p=p, seed=seed)
             elif nt == D.WRITE_WRONG_ZIPCODE_DIGITS:
                 df = cn.write_wrong_zipcode_digits(
-                    df, col.name, key_col, p=p,
+                    df, col.name, crn_key, p=p,
                     digit_probabilities=params.get("digit_probabilities", [0.04, 0.04, 0.2, 0.36, 0.36]),
                     seed=seed,
                 )
             elif nt == D.MISREPORT_AGE:
                 df = cn.misreport_age(
-                    df, col.name, key_col, p=p,
+                    df, col.name, crn_key, p=p,
                     age_differences=params.get("possible_age_differences"), seed=seed,
                 )
             elif nt == D.WRITE_WRONG_DIGITS:
-                df = cn.write_wrong_digits(df, col.name, key_col, p=p, token_probability=tp, seed=seed)
+                df = cn.write_wrong_digits(df, col.name, crn_key, p=p, token_probability=tp, seed=seed)
             elif nt == D.USE_NICKNAME:
                 df = cn.use_nickname(
-                    df, col.name, key_col, assets.NICKNAMES, p=p, seed=seed,
+                    df, col.name, crn_key, assets.NICKNAMES, p=p, seed=seed,
                     proportion_col=prop_cols.get((col.name, nt)),
                 )
             elif nt == D.USE_FAKE_NAME:
                 fakes = assets.FAKE_FIRST_NAMES if "first" in col.name or "middle" in col.name else assets.FAKE_LAST_NAMES
-                df = cn.use_fake_name(df, col.name, key_col, fakes, p=p, seed=seed)
+                df = cn.use_fake_name(df, col.name, crn_key, fakes, p=p, seed=seed)
             elif nt == D.MAKE_PHONETIC_ERRORS:
                 token_plan.append(("make_phonetic_errors", assets.PHONETIC_VARIANTS, p, tp))
             elif nt == D.MAKE_OCR_ERRORS:
@@ -174,7 +184,7 @@ def noise_dataset(
         if token_plan:
             all_token_plans.append((col.name, token_plan))
     if all_token_plans:
-        df = apply_token_noise_all_columns(df, all_token_plans, key_col, seed=seed)
+        df = apply_token_noise_all_columns(df, all_token_plans, crn_key, seed=seed)
 
     # final projection to the declared output schema, declared order
     keep = [c for c in spec.column_names if c in df.columns]

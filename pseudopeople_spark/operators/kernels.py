@@ -40,6 +40,36 @@ from pyspark.sql import types as T
 
 from pseudopeople_spark.crn import key64, splitmix64_u01
 
+# --- pure-python splitmix64 scalar path -----------------------------------
+# The per-(row, position) draws inside the scan loops were numpy-SCALAR
+# splitmix calls (np.uint64 arithmetic on 1-element values, an array
+# allocation per draw — ~3-5us each); a selected cell makes one per
+# candidate position. The integer replica below is bit-exact (both are
+# arithmetic mod 2^64; asserted in tests/test_kernels.py) and ~10x
+# cheaper per draw.
+_M64 = (1 << 64) - 1
+_G = 0x9E3779B97F4A7C15
+_PM1 = 0xBF58476D1CE4E5B9
+_PM2 = 0x94D049BB133111EB
+
+
+def _sm64(x: int) -> int:
+    z = (x + _G) & _M64
+    z = ((z ^ (z >> 30)) * _PM1) & _M64
+    z = ((z ^ (z >> 27)) * _PM2) & _M64
+    return z ^ (z >> 31)
+
+
+def _sm_mix(acc: int, part: int) -> int:
+    return _sm64(acc ^ ((part * _G) & _M64))
+
+
+def _sm_u01_tail(prefix: int, part: int) -> float:
+    """u01 of key64([a, b, part]) given prefix = mix(mix(0,a),b) — the
+    scan loops reuse the (row_key, position) prefix across the
+    token-length / draw-kind tail."""
+    return (_sm_mix(prefix, part) >> 11) * (1.0 / float(1 << 53))
+
 
 def _corrupt_tokens_one(
     s: str,
@@ -67,9 +97,19 @@ def _corrupt_tokens_one(
     out: list[str] = []
     i = 0
     n = len(s)
-    pos_salt = np.uint64(salt)
+    salt_i = int(salt) & _M64
+    rk = int(row_key) & _M64
+    key_prefix = _sm_mix(0, rk)
+    first_chars = _first_chars(rules)
     while i < n:
+        # no rule token starts with this character -> the L-loop can
+        # never match; advance without the per-length dict probes
+        if first_chars is not None and s[i] not in first_chars:
+            out.append(s[i])
+            i += 1
+            continue
         corrupted = False
+        pos_prefix = None
         for L in range(min(max_token_len, n - i), 0, -1):
             cand = s[i : i + L]
             if cand not in rules:
@@ -77,13 +117,15 @@ def _corrupt_tokens_one(
             if draw is not None:
                 u = draw(row_key, i, L, 0)
             else:
-                u = splitmix64_u01([np.uint64(row_key), np.uint64(i), pos_salt + np.uint64(2 * L)])
+                if pos_prefix is None:
+                    pos_prefix = _sm_mix(key_prefix, i)
+                u = _sm_u01_tail(pos_prefix, (salt_i + 2 * L) & _M64)
             if u < token_probability:
                 variants = rules[cand]
                 if draw is not None:
                     u2 = draw(row_key, i, L, 1)
                 else:
-                    u2 = splitmix64_u01([np.uint64(row_key), np.uint64(i), pos_salt + np.uint64(2 * L + 1)])
+                    u2 = _sm_u01_tail(pos_prefix, (salt_i + 2 * L + 1) & _M64)
                 out.append(variants[int(u2 * len(variants))])
                 i += L
                 corrupted = True
@@ -92,6 +134,22 @@ def _corrupt_tokens_one(
             out.append(s[i])
             i += 1
     return "".join(out)
+
+
+# per-rule-table cache of the token first-character set (the scan's
+# cheap reject test); keyed by id() — rule tables are built once per
+# task/worker and frozen
+_FIRST_CHARS_CACHE: "dict[int, frozenset]" = {}
+
+
+def _first_chars(rules) -> "frozenset | None":
+    fc = _FIRST_CHARS_CACHE.get(id(rules))
+    if fc is None:
+        if len(_FIRST_CHARS_CACHE) > 64:
+            _FIRST_CHARS_CACHE.clear()
+        fc = frozenset(k[0] for k in rules if k)
+        _FIRST_CHARS_CACHE[id(rules)] = fc
+    return fc
 
 
 def make_corrupt_tokens_udf(
@@ -228,8 +286,12 @@ def apply_token_noise_plan(
             & (u01(F.col(key_col), seed, decision) < cp)
         )
     udf = make_combined_token_noise_udf(specs)
-    # key_expr, not `key64`: that name is the imported crn numpy helper
-    key_expr = F.xxhash64(F.lit(str(seed)), F.lit(f"tok_{column}"), F.col(key_col).cast("string"))
+    # key_expr, not `key64`: that name is the imported crn numpy helper.
+    # (seed, tag) folded to one int64 at plan time; the key column is
+    # hashed in its native type (see crn.fold_salt64)
+    from pseudopeople_spark.crn import fold_salt64
+
+    key_expr = F.xxhash64(F.lit(fold_salt64(seed, f"tok_{column}")).cast("bigint"), F.col(key_col))
     return df.withColumn(column, udf(key_expr, *mask_cols, F.col(column)))
 
 
@@ -296,7 +358,9 @@ def apply_token_noise_all_columns(
         return pd.DataFrame(out)
 
     assert prepared  # non-empty plan
-    key_expr = F.xxhash64(F.lit(str(seed)), F.lit("tok_all"), F.col(key_col).cast("string"))
+    from pseudopeople_spark.crn import fold_salt64
+
+    key_expr = F.xxhash64(F.lit(fold_salt64(seed, "tok_all")).cast("bigint"), F.col(key_col))
     struct_col = noise_all(key_expr, *[F.col(c) for c, _ in column_plans])
     tmp = "__tok_noise"
     df = df.withColumn(tmp, struct_col)
@@ -320,20 +384,25 @@ def _typo_one_impl(
     whose flat per-position CASE chain replays each draw exactly (the
     scan has fixed advance, so no CTE state is needed)."""
     out: list[str] = []
-    rk = np.uint64(row_key)
-    st = np.uint64(salt)
+    st = int(salt) & _M64
+    key_prefix = _sm_mix(0, int(row_key) & _M64)
     for i, ch in enumerate(s):
         nbrs = frozen.get(ch.lower())
         if nbrs is None:
             out.append(ch)
             continue
-        u0 = draw(row_key, i, 0) if draw is not None else splitmix64_u01([rk, np.uint64(i), st])
+        pos_prefix = None
+        if draw is not None:
+            u0 = draw(row_key, i, 0)
+        else:
+            pos_prefix = _sm_mix(key_prefix, i)
+            u0 = _sm_u01_tail(pos_prefix, st)
         if u0 >= tp:
             out.append(ch)
             continue
         u2 = (
             draw(row_key, i, 1) if draw is not None
-            else splitmix64_u01([rk, np.uint64(i), st + np.uint64(1)])
+            else _sm_u01_tail(pos_prefix, (st + 1) & _M64)
         )
         typo = nbrs[int(u2 * len(nbrs))]
         if ch.isupper():
@@ -341,7 +410,7 @@ def _typo_one_impl(
         out.append(typo)
         u3 = (
             draw(row_key, i, 2) if draw is not None
-            else splitmix64_u01([rk, np.uint64(i), st + np.uint64(2)])
+            else _sm_u01_tail(pos_prefix, (st + 2) & _M64)
         )
         if u3 < include_original_probability:
             out.append(ch)

@@ -186,6 +186,19 @@ def duplicate_with_guardian(
     in_college = (age < 24) & (housing == "College")
     dependents = df.where((in_household | in_college) & F.col(g1).isNotNull())
 
+    # Selection draw BEFORE the guardian joins: the Bernoulli draw
+    # depends only on (key, age, housing) — never on join results — so
+    # filtering here is exactly the conjunction the reference applies
+    # after the merge, while the joins now probe ~p of the dependents
+    # (2-5%) instead of all of them. The guardian build side is
+    # unchanged; the probe-side shuffle shrinks ~20-50x.
+    p_row = F.when(in_college, F.lit(p_college)).otherwise(F.lit(p_under_18))
+    # per-group decision keys, like the reference's per-group streams
+    u_noise = F.when(
+        in_college, u01(F.col(key_col), seed, "duplicate_with_guardian_college")
+    ).otherwise(u01(F.col(key_col), seed, "duplicate_with_guardian_households"))
+    dependents = dependents.where(u_noise < p_row)
+
     has_year = year_col in cols
     has_hh = household_col in cols
     # the guardian's household id rides along for the "lives elsewhere"
@@ -199,6 +212,19 @@ def duplicate_with_guardian(
         *([F.col(year_col).alias("_g_year")] if has_year else []),
         *[F.col(c).alias(f"_g_{c}") for c in proj_cols],
     )
+    # Semi-join pruning BEFORE the defensive dedup (guide §3.2): only
+    # guardians referenced by a SELECTED dependent can contribute to
+    # the join, and the selection draw above thins dependents to ~p of
+    # the eligible rows — so the guardian side shrinks from the full
+    # record count to ~2x the selected count. The dedup's full-table
+    # shuffle (the dominant cost of this operator at 1M rows) collapses
+    # to a broadcast semi filter + a small shuffle. Left joins on a
+    # semi-pruned build side produce identical rows: pruned-away
+    # guardians could only have matched unselected dependents.
+    dep_keys = dependents.select(
+        F.explode(F.array(F.col(g1), F.col(g2))).alias("_g_sid")
+    ).where(F.col("_g_sid").isNotNull())
+    guardians = guardians.join(F.broadcast(dep_keys), "_g_sid", "left_semi")
     # A guardian appears once per (simulant, year) in a well-formed
     # extract; dedup defensively so one dependent row can't fan out.
     guardians = guardians.dropDuplicates(["_g_sid"] + (["_g_year"] if has_year else []))
@@ -239,13 +265,9 @@ def duplicate_with_guardian(
         .when(g1_diff, F.lit("_g1"))
         .when(g2_diff, F.lit("_g2"))
     )
-    p_row = F.when(in_college, F.lit(p_college)).otherwise(F.lit(p_under_18))
-    # per-group decision keys, like the reference's per-group streams
-    u_noise = F.when(
-        in_college, u01(F.col(key_col), seed, "duplicate_with_guardian_college")
-    ).otherwise(u01(F.col(key_col), seed, "duplicate_with_guardian_households"))
+    # (u_noise < p_row) already applied pre-join above
     selected = merged.withColumn("_copy_from", chosen).where(
-        F.col("_copy_from").isNotNull() & (u_noise < p_row)
+        F.col("_copy_from").isNotNull()
     )
 
     def copied(c: str):

@@ -128,3 +128,19 @@ def test_oracle_retry_instance_executes_shorter_token_loop():
     assert seen["two_draws"] > 0
     assert seen["retry_draws"] > 0, "shorter-token loop never reached iteration 2"
     assert seen["retry_success"] > 0, "retry arm never actually corrupted"
+
+
+def test_pure_python_splitmix_bit_exact_vs_numpy():
+    # the scan loops' scalar draw path must reproduce the vectorized
+    # numpy splitmix64 stream bit-exactly (same (key, pos, salt) keying)
+    import numpy as np
+
+    from pseudopeople_spark.crn import splitmix64_u01
+    from pseudopeople_spark.operators.kernels import _M64, _sm_mix, _sm_u01_tail
+
+    rng = np.random.default_rng(7)
+    for _ in range(200):
+        a, b, c = (int(x) for x in rng.integers(0, 2**64, size=3, dtype=np.uint64))
+        ref = splitmix64_u01([np.uint64(a), np.uint64(b), np.uint64(c)])
+        prefix = _sm_mix(_sm_mix(0, a & _M64), b & _M64)
+        assert _sm_u01_tail(prefix, c & _M64) == ref
