@@ -218,7 +218,8 @@ def simhash_sigs_relation_sql(d: Dialect, prefix_len: int = 200,
 
 def simhash_pairs_from_sigs_sql(d: Dialect, sigs_rel: str, max_hamming: int = 3,
                                 bits: int = SIMHASH_BITS,
-                                first_band_only: bool = False) -> str:
+                                first_band_only: bool = False,
+                                broadcast_build: bool = False) -> str:
     """Banding + Hamming verification over an existing (doc_id, sig)
     relation (see :func:`simhash_near_dups_sql` for semantics).
 
@@ -254,9 +255,17 @@ def simhash_pairs_from_sigs_sql(d: Dialect, sigs_rel: str, max_hamming: int = 3,
             f"{band_vals[k].replace('SIDE', 'r')})"
             for k in range(n_bands - 1)
         )
+        # broadcast_build (Spark only): the banded relation is small
+        # (rows x n_bands of (int, int64)) but derives from a
+        # LogicalRDD checkpoint whose size estimate defaults to huge,
+        # so the planner picks a sort-merge join — per-bucket buffered
+        # row copies at ~9us/candidate-pair. A broadcast hash join
+        # probes the same buckets through codegen. Hint syntax is
+        # Spark-side only; dialect oracles never set this flag.
+        hint = "/*+ BROADCAST(r) */ " if broadcast_build else ""
         return (
             f"WITH banded AS ({banded}) "
-            f"SELECT l.doc_id AS id_l, r.doc_id AS id_r, "
+            f"SELECT {hint}l.doc_id AS id_l, r.doc_id AS id_r, "
             f"CAST({ham} AS BIGINT) AS hamming "
             f"FROM banded l JOIN banded r ON l.band_no = r.band_no AND l.band_val = r.band_val "
             f"WHERE l.doc_id < r.doc_id AND {ham} <= {max_hamming} AND {no_earlier}"
