@@ -78,19 +78,27 @@ def pairs_from_blocks(
     )
 
     # Oversized blocks: linear sweep — only the next `neighborhood_window`
-    # followers (record ids are effectively random within a block, so
-    # this is a uniform sample of the quadratic pair set, and the pairs
-    # a sweep misses are covered by the other blocking passes).
-    # MEASURED LIMIT of that coverage claim (round 5, 1M simulants,
-    # tools/diag_blocking_recall.py): once Zipf-head (surname, year)
-    # blocks outgrow the cap, same-last+same-dob pairs with a BLANKED
-    # first name are covered by no other pass and the random-order
-    # sweep samples past them — 80% of the 1M misses (blocking recall
-    # 0.984@300k -> 0.957@1M). Next-step fix, same pair budget: order
-    # this sweep window by dob (same-dob records become adjacent)
-    # instead of record id. Deliberately not changed in round 5: the
-    # recorded scaling measurements pin the committed candidate set.
-    w_near = Window.partitionBy("block_key").orderBy("record_id").rowsBetween(1, neighborhood_window)
+    # followers. ROUND-6 (verdict #1): when the block set carries a
+    # `_sweep` column (blocking.all_block_keys rides the dob along),
+    # the sweep window is ordered by (_sweep, record_id) instead of
+    # record id — the round-5 1M diagnosis showed Zipf-head (surname,
+    # year) blocks outgrowing the cap lose same-last+same-dob pairs
+    # with a blanked first name (80% of the misses; recall 0.984@300k
+    # -> 0.957@1M) because a record-id-ordered sweep samples past them.
+    # Ordering by dob makes same-dob records ADJACENT at the SAME pair
+    # budget (still w followers per record, no quadratic growth). The
+    # (dob, record_id) composite is a total order, so the candidate
+    # set stays partition-invariant. Followers are no longer id-sorted,
+    # so the emitted pair is orientation-normalized (least/greatest).
+    has_sweep = "_sweep" in blocks.columns
+    if has_sweep:
+        w_near = (
+            Window.partitionBy("block_key")
+            .orderBy("_sweep", "record_id")
+            .rowsBetween(1, neighborhood_window)
+        )
+    else:
+        w_near = Window.partitionBy("block_key").orderBy("record_id").rowsBetween(1, neighborhood_window)
     big = sized.where(F.col("_bs") > max_block_size)
     sweep = (
         big.select(
@@ -99,6 +107,10 @@ def pairs_from_blocks(
         )
         .select("id_l", F.explode("_nbrs").alias("id_r"))
     )
+    if has_sweep:
+        sweep = sweep.select(
+            F.least("id_l", "id_r").alias("id_l"), F.greatest("id_l", "id_r").alias("id_r")
+        )
 
     out = quad.unionByName(sweep)
     return out.dropDuplicates(["id_l", "id_r"]) if dedup else out

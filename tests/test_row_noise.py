@@ -38,7 +38,11 @@ def test_duplicate_rows(spark):
 
 
 def test_duplicate_with_guardian(spark):
-    pop = synth.simulants(spark, 2000, seed=5)
+    # 20k simulants (was 2k): with ~500 eligible children the Bayes
+    # factor on the 0.5-rate check came out inconclusive (0.155 — a
+    # pass that couldn't discriminate; round-5 verdict #4). ~10x the
+    # children makes the test actually reject a wrong rate.
+    pop = synth.simulants(spark, 20_000, seed=5)
     census = synth.census_records(pop, 2020)
     # In the synthesized population guardians co-reside with their
     # dependents (same address), which makes the operator a no-op by
@@ -57,7 +61,20 @@ def test_duplicate_with_guardian(spark):
     base_n = census.count()
     dups = out.where(F.col("record_id").endswith("_dup")).localCheckpoint()
     n_dups = dups.count()
-    n_children = census.where(F.col("guardian_1").isNotNull()).count()
+    # denominator = ELIGIBLE rows (the operator's contract): age<18 in a
+    # Household or age<24 in College, guardian non-null. The old
+    # denominator counted every guardian-carrying row — ~9% of which are
+    # ineligible (18-23 Household, group-quarters children), so the true
+    # rate vs that denominator was ~0.457, a mismatch the underpowered
+    # 2k-simulant sample could not detect (inconclusive BF 0.155).
+    age = F.col("age").cast("bigint")
+    n_children = census.where(
+        F.col("guardian_1").isNotNull()
+        & (
+            ((age < 18) & (F.col("housing_type") == "Household"))
+            | ((age < 24) & (F.col("housing_type") == "College"))
+        )
+    ).count()
     assert_proportion(n_dups, n_children, 0.5, "duplicate_with_guardian rate", slack_sigmas=6)
     # every duplicate carries the guardian's (different) address
     orig_addr = census.select("simulant_id", *[F.col(c).alias(f"o_{c}") for c in addr])
