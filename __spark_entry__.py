@@ -1629,10 +1629,7 @@ def simhash_near_dups_query(spark, sf_dir):
     # first_band_only deletes the cross-band DISTINCT exchange (same
     # pair set by construction; oracle keeps DISTINCT and verifies)
     return spark.sql(
-        PT.simhash_pairs_from_sigs_sql(
-            PT.SPARK, "simhash_sigs", max_hamming=3, first_band_only=True,
-            broadcast_build=True,
-        )
+        PT.simhash_pairs_from_sigs_sql(PT.SPARK, "simhash_sigs", max_hamming=3, first_band_only=True)
     )
 
 
