@@ -118,3 +118,27 @@ def test_stream_link_null_field_never_matches(spark, tmp_path):
     assert (3, 6) in pairs and (5, 6) in pairs
     got9 = _run_stream(spark, tmp_path, [B1 + B2], "f", threshold=0.9)
     assert all(r["id_r"] != 6 for r in got9.collect())
+
+
+def test_stream_link_out_of_order_arrival_divergence_documented(spark, tmp_path):
+    """Round-5 verdict #5: the pair set is batching-invariant only when
+    trigger boundaries respect order_col (stateful.py docstring). This
+    test DEMONSTRATES the documented divergence for a late arrival: a
+    record with a SMALLER seq landing in a LATER trigger emits with
+    id_l/id_r flipped relative to the batch replay (id_l is the earlier
+    ARRIVAL, which is now the later-seq record). The pair COVERAGE and
+    the score are unchanged — the divergence is orientation only, plus
+    (for capped rings) a different eviction order, which is why the
+    production contract requires order-respecting triggers rather than
+    silently reordering state."""
+    late1 = [(1, "A", "martha", 10)]
+    late2 = [(2, "A", "marhta", 5)]  # arrives second, but seq-earlier
+    got = _run_stream(spark, tmp_path, [late1, late2], "ooo", threshold=0.9)
+    pairs = {(r["id_l"], r["id_r"]) for r in got.collect()}
+    # stream orientation: by arrival
+    assert pairs == {(1, 2)}
+    # batch truth orientation: by seq — the documented divergence
+    assert _expected(late1 + late2, 0.9) == {(2, 1)}
+    # coverage and score are preserved modulo orientation
+    by_pair = {(r["id_l"], r["id_r"]): r["score"] for r in got.collect()}
+    assert by_pair[(1, 2)] == S.jaro_winkler("MARTHA", "MARHTA")
