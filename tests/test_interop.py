@@ -165,9 +165,13 @@ def _survey_checks(spark, generate, spec, samples_dir, min_keep=0.5):
 def test_generate_acs_from_reference_sample(spark):
     from pseudopeople_spark.api import generate_american_community_survey
 
+    # ACS's oversample-adjusted non-response model EXPECTS keep ~0.49
+    # (0.5+p/2 transform): the old 0.5 bound sat ON the mean and only
+    # passed by draw luck on the 140-row sample (binomial sd ~0.042);
+    # 0.35 is mean - 3sd
     _survey_checks(
         spark, generate_american_community_survey, D.AMERICAN_COMMUNITY_SURVEY,
-        f"{SAMPLES}/american_community_survey",
+        f"{SAMPLES}/american_community_survey", min_keep=0.35,
     )
 
 
