@@ -393,8 +393,11 @@ def resolve(
                         "threshold": cfg.threshold,
                         "same_dataset_distinct": cfg.unique_within_dataset,
                     },
+                    n_records=n_records,
                 )
-            out = scoring.score_pairs_fused(spark, cand, records, attach, emit_attach=emit)
+            out = scoring.score_pairs_fused(
+                spark, cand, records, attach, emit_attach=emit, n_records=n_records
+            )
         else:
             out = scoring.score_pairs(scoring.attach_pair_fields(cand, records, attach))
         # Fuse the match decision into the same pass: is_match is pure

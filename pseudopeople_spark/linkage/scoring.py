@@ -467,6 +467,39 @@ _LIVE_REC_DIR: "str | None" = None
 PROF: "dict[str, float]" = {}
 
 
+# Records tables at or under this row count ship to the workers as
+# Arrow IPC bytes INSIDE the task closure instead of a scratch-parquet
+# write + per-worker read: at bench scale (20k simulants = ~45k
+# records) the write job alone costs 0.6-1.9 s of the resolve wall,
+# while ~4 MB of closure bytes ride the task-binary broadcast for
+# free. Above the gate the parquet path is unchanged (the 745k-2.5M
+# record scaling runs, and the only 100 TB-viable shape).
+SMALL_LOOKUP_MAX_ROWS = 150_000
+
+
+class ArrowIpcLookup:
+    """Closure-shipped records lookup: Arrow IPC bytes, deserialized at
+    most once per python worker (make_fused_batches caches decoded
+    structures keyed by ``token``)."""
+
+    def __init__(self, table):
+        import uuid
+
+        import pyarrow as pa
+
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, table.schema) as w:
+            w.write_table(table)
+        self._ipc = sink.getvalue().to_pybytes()
+        self.token = f"ipc_{uuid.uuid4().hex}"
+
+    @property
+    def value(self):
+        import pyarrow as pa
+
+        return pa.ipc.open_stream(self._ipc).read_all()
+
+
 def score_pairs_fused(
     spark,
     pairs: DataFrame,
@@ -476,6 +509,7 @@ def score_pairs_fused(
     id_col: str = "record_id",
     emit_attach: "list[str] | None" = None,
     decide: "dict | None" = None,
+    n_records: "int | None" = None,
 ) -> DataFrame:
     """Fused attach+score: one mapInArrow pass over the BARE pair ids,
     with the record fields looked up worker-side from a scratch-parquet
@@ -529,15 +563,21 @@ def score_pairs_fused(
 
     from pyspark.sql import types as T
 
-    base = os.environ.get("PP_FUSED_LOOKUP_DIR") or tempfile.gettempdir()
-    path = os.path.join(base, f"pp_fused_rec_{uuid.uuid4().hex}")
-    _t0 = _time.time()
-    records.select(id_col, *attach).write.mode("overwrite").parquet(path)
-    PROF["scoring.lookup_write"] = round(_time.time() - _t0, 2)
-    global _LIVE_REC_DIR
-    if _LIVE_REC_DIR is not None:
-        shutil.rmtree(_LIVE_REC_DIR, ignore_errors=True)
-    _LIVE_REC_DIR = path
+    if n_records is not None and n_records <= SMALL_LOOKUP_MAX_ROWS:
+        # small-records path: no scratch write, no per-worker file read
+        _t0 = _time.time()
+        path = ArrowIpcLookup(records.select(id_col, *attach).toArrow())
+        PROF["scoring.lookup_ipc"] = round(_time.time() - _t0, 2)
+    else:
+        base = os.environ.get("PP_FUSED_LOOKUP_DIR") or tempfile.gettempdir()
+        path = os.path.join(base, f"pp_fused_rec_{uuid.uuid4().hex}")
+        _t0 = _time.time()
+        records.select(id_col, *attach).write.mode("overwrite").parquet(path)
+        PROF["scoring.lookup_write"] = round(_time.time() - _t0, 2)
+        global _LIVE_REC_DIR
+        if _LIVE_REC_DIR is not None:
+            shutil.rmtree(_LIVE_REC_DIR, ignore_errors=True)
+        _LIVE_REC_DIR = path
     if emit_attach is None:
         emit_attach = attach
     else:
@@ -641,7 +681,7 @@ def make_fused_batches(src, id_col, attach, specs, families, i_l, i_r, emit_atta
 
         ph = _S.PHASE_SECONDS
         cache = _S._FUSED_REC_CACHE
-        key = src if isinstance(src, str) else id(src.value)
+        key = src if isinstance(src, str) else getattr(src, "token", None) or id(src.value)
         if cache.get("key") != key:
             if isinstance(src, str):
                 import pyarrow.dataset as ds

@@ -57,8 +57,17 @@ def eligibility_proportion_expr(eligible: Column, notna: Column, tag: str) -> Co
     onto the data (see noise.noise_dataset): a per-operator
     ``crossJoin(agg(self))`` doubles the self-referencing plan per
     operator — taxes_1040 has 6 copy-noise columns, and the analyzer's
-    DeduplicateRelations walks the resulting 2^k duplicated subtrees."""
-    return (F.sum(eligible.cast("double")) / F.sum(notna.cast("double"))).alias(tag)
+    DeduplicateRelations walks the resulting 2^k duplicated subtrees.
+
+    The counts sum as LONGS, not doubles: a double sum's value depends
+    on partition merge order (FP rounding), which made the proportion —
+    and therefore the u < p mask at the boundary — wobble by an ulp
+    between runs (observed: ~28 of 3.3M draws flipping between two
+    otherwise identical resolves). Integer sums are exact and
+    order-independent; the single final division is deterministic."""
+    return (
+        F.sum(eligible.cast("long")).cast("double") / F.sum(notna.cast("long")).cast("double")
+    ).alias(tag)
 
 
 def _scaled_p(p: float, proportion_col: "str | None") -> "Column | float":

@@ -79,6 +79,7 @@ def _corrupt_tokens_one(
     max_token_len: int,
     token_probability: float,
     draw=None,
+    first_chars: "frozenset | None" = None,
 ) -> str:
     """One string through the token-corruption scan. At each position
     every eligible token gets its own corruption draw, tried
@@ -100,11 +101,12 @@ def _corrupt_tokens_one(
     salt_i = int(salt) & _M64
     rk = int(row_key) & _M64
     key_prefix = _sm_mix(0, rk)
-    first_chars = _first_chars(rules)
+    if first_chars is None:
+        first_chars = frozenset(k[0] for k in rules if k)
     while i < n:
         # no rule token starts with this character -> the L-loop can
         # never match; advance without the per-length dict probes
-        if first_chars is not None and s[i] not in first_chars:
+        if s[i] not in first_chars:
             out.append(s[i])
             i += 1
             continue
@@ -136,22 +138,6 @@ def _corrupt_tokens_one(
     return "".join(out)
 
 
-# per-rule-table cache of the token first-character set (the scan's
-# cheap reject test); keyed by id() — rule tables are built once per
-# task/worker and frozen
-_FIRST_CHARS_CACHE: "dict[int, frozenset]" = {}
-
-
-def _first_chars(rules) -> "frozenset | None":
-    fc = _FIRST_CHARS_CACHE.get(id(rules))
-    if fc is None:
-        if len(_FIRST_CHARS_CACHE) > 64:
-            _FIRST_CHARS_CACHE.clear()
-        fc = frozenset(k[0] for k in rules if k)
-        _FIRST_CHARS_CACHE[id(rules)] = fc
-    return fc
-
-
 def make_corrupt_tokens_udf(
     rules: Mapping[str, Sequence[str]],
     token_probability: float = 0.1,
@@ -167,6 +153,10 @@ def make_corrupt_tokens_udf(
     max_len = max(len(k) for k in rules)
     salt = _salt(seed, decision)
     frozen = {k: tuple(v) for k, v in rules.items()}
+    # the scan's cheap reject set, captured in the closure — NEVER
+    # cached by id(rules): a reused worker can see a different rule
+    # table at a recycled address and reject the wrong characters
+    fc = frozenset(k[0] for k in frozen if k)
 
     @F.pandas_udf(T.StringType())
     def corrupt(key: pd.Series, mask: pd.Series, val: pd.Series) -> pd.Series:
@@ -179,7 +169,7 @@ def make_corrupt_tokens_udf(
             res = [
                 _corrupt_tokens_one(
                     str(vals[j]), int(keys[j]), salt, frozen, max_len,
-                    token_probability, draw=draw,
+                    token_probability, draw=draw, first_chars=fc,
                 )
                 for j in idx
             ]
@@ -231,10 +221,11 @@ def make_combined_token_noise_udf(specs: "list[tuple[str, Mapping, float, int]]"
     prepared = []
     for kind, rules, tp, salt in specs:
         if kind == "make_typos":
-            prepared.append(("typo", {k: str(v) for k, v in rules.items()}, tp, salt, 1))
+            prepared.append(("typo", {k: str(v) for k, v in rules.items()}, tp, salt, 1, None))
         else:
             frozen = {k: tuple(v) for k, v in rules.items()}
-            prepared.append(("tok", frozen, tp, salt, max(len(k) for k in frozen)))
+            fc = frozenset(k[0] for k in frozen if k)
+            prepared.append(("tok", frozen, tp, salt, max(len(k) for k in frozen), fc))
 
     @F.pandas_udf(T.StringType())
     def combined(key: pd.Series, *args: pd.Series) -> pd.Series:
@@ -245,7 +236,7 @@ def make_combined_token_noise_udf(specs: "list[tuple[str, Mapping, float, int]]"
         vals = out.to_numpy(dtype=object)
         notna = val.notna().to_numpy(dtype=bool)
         for spec, mask in zip(prepared, masks):
-            kind, rules, tp, salt, mx = spec
+            kind, rules, tp, salt, mx, fc = spec
             sel = mask.fillna(False).to_numpy(dtype=bool) & notna
             idx = np.nonzero(sel)[0]
             if len(idx) == 0:
@@ -255,7 +246,9 @@ def make_combined_token_noise_udf(specs: "list[tuple[str, Mapping, float, int]]"
                     vals[j] = _typo_one_impl(str(vals[j]), int(keys[j]), rules, tp, salt)
             else:
                 for j in idx:
-                    vals[j] = _corrupt_tokens_one(str(vals[j]), int(keys[j]), salt, rules, mx, tp)
+                    vals[j] = _corrupt_tokens_one(
+                        str(vals[j]), int(keys[j]), salt, rules, mx, tp, first_chars=fc
+                    )
         return pd.Series(vals, index=val.index, dtype=object)
 
     return combined
@@ -325,10 +318,11 @@ def apply_token_noise_all_columns(
             mask_salt = _salt(seed, f"mask_{decision}")
             tok_salt = _salt(seed, decision)
             if kind == "make_typos":
-                specs.append(("typo", {k: str(v) for k, v in rules.items()}, tp, cp, mask_salt, tok_salt, 1))
+                specs.append(("typo", {k: str(v) for k, v in rules.items()}, tp, cp, mask_salt, tok_salt, 1, None))
             else:
                 frozen = {k: tuple(v) for k, v in rules.items()}
-                specs.append(("tok", frozen, tp, cp, mask_salt, tok_salt, max(len(k) for k in frozen)))
+                fc = frozenset(k[0] for k in frozen if k)
+                specs.append(("tok", frozen, tp, cp, mask_salt, tok_salt, max(len(k) for k in frozen), fc))
         prepared.append((column, specs))
 
     schema_fields = [T.StructField(c, T.StringType()) for c, _ in column_plans]
@@ -340,7 +334,7 @@ def apply_token_noise_all_columns(
         for (column, specs), val in zip(prepared, cols):
             vals = val.to_numpy(dtype=object)
             eligible = val.notna().to_numpy(dtype=bool) & (vals != "")
-            for kind, rules, tp, cp, mask_salt, tok_salt, mx in specs:
+            for kind, rules, tp, cp, mask_salt, tok_salt, mx, fc in specs:
                 # vectorized CRN mask — O(rows) hashing, O(cp·rows) Python
                 sel = eligible & (splitmix64_u01([keys, np.uint64(mask_salt)]) < cp)
                 idx = np.nonzero(sel)[0]
@@ -353,7 +347,10 @@ def apply_token_noise_all_columns(
                         vals[j] = _typo_one_impl(str(vals[j]), int(col_keys[n]), rules, tp, tok_salt)
                 else:
                     for n, j in enumerate(idx):
-                        vals[j] = _corrupt_tokens_one(str(vals[j]), int(col_keys[n]), tok_salt, rules, mx, tp)
+                        vals[j] = _corrupt_tokens_one(
+                            str(vals[j]), int(col_keys[n]), tok_salt, rules, mx, tp,
+                            first_chars=fc,
+                        )
             out[column] = pd.Series(vals, index=val.index, dtype=object)
         return pd.DataFrame(out)
 
